@@ -1,0 +1,16 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests run on host-emulated devices
+(--xla_force_host_platform_device_count) so the sharded NTT is testable
+without a pod. Set HEXL_TPU_TEST_PLATFORM=tpu to run against real hardware.
+"""
+
+import os
+
+if os.environ.get("HEXL_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
