@@ -1,0 +1,168 @@
+"""Property tests for the uint32-limb arithmetic layer vs exact host math."""
+
+import jax
+import numpy as np
+import pytest
+
+from hexl_tpu import limb, nt
+
+MASK64 = (1 << 64) - 1
+
+
+def _rand_u64(rng, n=256, bits=64):
+    return rng.integers(0, 1 << bits, size=n, dtype=np.uint64)
+
+
+def _pairs(seed=0, n=256):
+    rng = np.random.default_rng(seed)
+    # Include adversarial edge values.
+    edges = np.array(
+        [0, 1, 2, 0xFFFFFFFF, 0x100000000, 0xFFFFFFFFFFFFFFFF,
+         0x8000000000000000, 0x00000001FFFFFFFF, 0xFFFFFFFF00000000],
+        dtype=np.uint64)
+    a = np.concatenate([edges, _rand_u64(rng, n)])
+    b = np.concatenate([edges[::-1], _rand_u64(rng, n)])
+    return a, b
+
+
+def test_roundtrip_limbs():
+    a, _ = _pairs()
+    np.testing.assert_array_equal(limb.from_limbs(limb.to_limbs(a)), a)
+
+
+def test_add_sub64():
+    a, b = _pairs(1)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    got = limb.from_limbs(jax.jit(limb.add64)(la, lb))
+    exp = (a.astype(object) + b.astype(object)) & MASK64
+    np.testing.assert_array_equal(got, exp.astype(np.uint64))
+    got = limb.from_limbs(jax.jit(limb.sub64)(la, lb))
+    exp = (a.astype(object) - b.astype(object)) & MASK64
+    np.testing.assert_array_equal(got, exp.astype(np.uint64))
+
+
+def test_mul64():
+    a, b = _pairs(2)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    prod = [int(x) * int(y) for x, y in zip(a, b)]
+    got_lo = limb.from_limbs(jax.jit(limb.mullo64)(la, lb))
+    np.testing.assert_array_equal(
+        got_lo, np.array([p & MASK64 for p in prod], dtype=np.uint64))
+    got_hi = limb.from_limbs(jax.jit(limb.mulhi64)(la, lb))
+    np.testing.assert_array_equal(
+        got_hi, np.array([p >> 64 for p in prod], dtype=np.uint64))
+    wide = jax.jit(limb.mul64_wide)(la, lb)
+    np.testing.assert_array_equal(limb.from_limbs(wide.lo),
+                                  got_lo)
+    np.testing.assert_array_equal(limb.from_limbs(wide.hi), got_hi)
+
+
+def test_comparisons_and_select():
+    a, b = _pairs(3)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    np.testing.assert_array_equal(np.asarray(limb.lt64(la, lb)), a < b)
+    np.testing.assert_array_equal(np.asarray(limb.ge64(la, lb)), a >= b)
+    np.testing.assert_array_equal(np.asarray(limb.eq64(la, la)),
+                                  np.ones_like(a, dtype=bool))
+    sel = limb.select64(a < b, la, lb)
+    np.testing.assert_array_equal(limb.from_limbs(sel), np.minimum(a, b))
+
+
+@pytest.mark.parametrize("s", [0, 1, 5, 31, 32, 33, 63])
+def test_shifts(s):
+    a, _ = _pairs(4)
+    la = limb.to_limbs(a)
+    np.testing.assert_array_equal(limb.from_limbs(limb.shr64(la, s)), a >> np.uint64(s))
+    exp_shl = ((a.astype(object) << s) & MASK64).astype(np.uint64)
+    np.testing.assert_array_equal(limb.from_limbs(limb.shl64(la, s)), exp_shl)
+
+
+@pytest.mark.parametrize("s", [0, 1, 30, 32, 50, 60, 64, 65, 96, 127])
+def test_shr128(s):
+    a, b = _pairs(5)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    wide = limb.mul64_wide(la, lb)
+    got = limb.from_limbs(limb.shr128_to64(wide, s))
+    exp = np.array(
+        [((int(x) * int(y)) >> s) & MASK64 for x, y in zip(a, b)],
+        dtype=np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_add128():
+    a, b = _pairs(6)
+    c, d = _pairs(7)
+    p1 = limb.mul64_wide(limb.to_limbs(a), limb.to_limbs(b))
+    p2 = limb.mul64_wide(limb.to_limbs(c), limb.to_limbs(d))
+    s = jax.jit(limb.add128)(p1, p2)
+    got = [(int(limb.from_limbs(s.hi)[i]) << 64) |
+           int(limb.from_limbs(s.lo)[i]) for i in range(len(a))]
+    exp = [((int(a[i]) * int(b[i]) + int(c[i]) * int(d[i]))
+            & ((1 << 128) - 1)) for i in range(len(a))]
+    assert got == exp
+
+
+@pytest.mark.parametrize("q_bits", [5, 20, 30, 45, 50, 59, 61])
+def test_shoup_mul_lazy(q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    rng = np.random.default_rng(q_bits)
+    x = rng.integers(0, 2 * q, size=300, dtype=np.uint64)  # lazy input
+    w = int(rng.integers(0, q))
+    wp = nt.barrett_factor(w, 64, q)
+    got = limb.from_limbs(
+        limb.shoup_mul_lazy(limb.to_limbs(x), limb.const64(w),
+                            limb.const64(wp), q))
+    assert np.all(got < np.uint64(2 * q))
+    np.testing.assert_array_equal(got % np.uint64(q),
+                                  (x.astype(object) * w % q).astype(np.uint64))
+
+
+@pytest.mark.parametrize("q_bits", [20, 30, 45, 50, 61])
+def test_barrett_reduce_u64(q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    q_barr = nt.barrett_factor(1, 64, q)
+    rng = np.random.default_rng(q_bits + 100)
+    x = rng.integers(0, 1 << 63, size=300, dtype=np.uint64)
+    got = limb.from_limbs(limb.barrett_reduce_u64(limb.to_limbs(x), q, q_barr))
+    np.testing.assert_array_equal(got, x % np.uint64(q))
+    lazy = limb.from_limbs(
+        limb.barrett_reduce_u64(limb.to_limbs(x), q, q_barr, 2))
+    assert np.all(lazy < np.uint64(2 * q))
+    np.testing.assert_array_equal(lazy % np.uint64(q), x % np.uint64(q))
+
+
+@pytest.mark.parametrize("q_bits", [2, 20, 30, 45, 50, 60, 61])
+def test_mult_mod_barrett(q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0] if q_bits > 2 else 3
+    rng = np.random.default_rng(q_bits + 7)
+    x = rng.integers(0, q, size=300, dtype=np.uint64)
+    y = rng.integers(0, q, size=300, dtype=np.uint64)
+    got = limb.from_limbs(
+        jax.jit(lambda a, b: limb.mult_mod_barrett(a, b, q))(
+            limb.to_limbs(x), limb.to_limbs(y)))
+    exp = (x.astype(object) * y.astype(object) % q).astype(np.uint64)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_reduce_mod_lazy64():
+    q = nt.generate_primes(1, 59, True)[0]
+    rng = np.random.default_rng(9)
+    for imf in (1, 2, 4, 8):
+        x = rng.integers(0, imf * q, size=200, dtype=np.uint64)
+        got = limb.from_limbs(
+            limb.reduce_mod_lazy64(limb.to_limbs(x), q, imf))
+        np.testing.assert_array_equal(got, x % np.uint64(q))
+
+
+def test_montgomery_reduce():
+    q = nt.generate_primes(1, 50, True)[0]
+    r = 64
+    inv = nt.hensel_lemma_2adic_root(r, q)
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, q, size=200, dtype=np.uint64)
+    b = rng.integers(0, q, size=200, dtype=np.uint64)
+    t = limb.mul64_wide(limb.to_limbs(a), limb.to_limbs(b))
+    got = limb.from_limbs(limb.montgomery_reduce_u128(t, q, r, inv))
+    R_inv = nt.inverse_mod(1 << r, q)
+    exp = (a.astype(object) * b.astype(object) * R_inv % q).astype(np.uint64)
+    np.testing.assert_array_equal(got, exp)
