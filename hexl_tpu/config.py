@@ -1,0 +1,47 @@
+"""Runtime configuration and kernel-path dispatch control.
+
+The reference library dispatches per-call on CPU features with env-var kill
+switches (HEXL_DISABLE_AVX512DQ/IFMA, hexl/util/cpu-features.hpp:15-33).
+The TPU analogue: per-call dispatch between the Pallas kernel path and the
+portable jnp (XLA) path, with env kill switches so CI can force every
+fallback.
+
+  HEXL_TPU_DISABLE_PALLAS=1   force the jnp path everywhere
+  HEXL_TPU_DEBUG=1            enable input-range checking (host-side) on
+                              public entry points (HEXL_CHECK analogue;
+                              release path does zero validation, matching
+                              the reference's contract)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def _env_flag(name: str) -> bool:
+    return os.environ.get(name, "").strip() not in ("", "0", "false", "False")
+
+
+def pallas_disabled() -> bool:
+    return _env_flag("HEXL_TPU_DISABLE_PALLAS")
+
+
+def debug_checks() -> bool:
+    return _env_flag("HEXL_TPU_DEBUG")
+
+
+def default_backend() -> str:
+    """'tpu' or 'cpu' — which platform jax will place our kernels on."""
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - no devices at all
+        return "cpu"
+
+
+def use_pallas() -> bool:
+    """Pallas kernels run on TPU; interpret-mode elsewhere is opt-in only."""
+    if pallas_disabled():
+        return False
+    return default_backend() == "tpu"

@@ -1,0 +1,175 @@
+"""Public element-wise API with per-call kernel-path dispatch.
+
+Mirrors the reference dispatcher structure (hexl/eltwise/eltwise-*.cpp):
+each public op checks the active backend / kill-switch and forwards to the
+Pallas TPU kernel or the portable jnp path. All static parameters (modulus,
+mod factors, cmp, bound, diff) are baked into a cached jitted callable.
+
+Inputs may be `limb.U64` pytrees (device-resident, preferred) or host
+numpy/array-like uint64 — the latter are converted at the boundary and the
+result is returned as numpy uint64.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .. import config
+from ..limb import U64, from_limbs, to_limbs
+from . import jnp_kernels as K
+from . import pallas_kernels as P
+
+
+def _run(body, ins):
+    if config.use_pallas():
+        return P.run_eltwise(body, ins)
+    return body(*ins)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(op: str, *static):
+    """Build + jit the op with its static parameters baked in."""
+    if op == "add_mod_vv":
+        (q,) = static
+        body = lambda a, b: K.add_mod(a, b, q)
+        return jax.jit(lambda a, b: _run(body, (a, b)))
+    if op == "add_mod_vs":
+        q, s = static
+        body = lambda a: K.add_mod(a, s, q)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "sub_mod_vv":
+        (q,) = static
+        body = lambda a, b: K.sub_mod(a, b, q)
+        return jax.jit(lambda a, b: _run(body, (a, b)))
+    if op == "sub_mod_vs":
+        q, s = static
+        body = lambda a: K.sub_mod(a, s, q)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "mult_mod":
+        q, imf = static
+        body = lambda a, b: K.mult_mod(a, b, q, imf)
+        return jax.jit(lambda a, b: _run(body, (a, b)))
+    if op == "fma_mod":
+        q, arg2, imf, has_arg3 = static
+        if has_arg3:
+            body = lambda a, c: K.fma_mod(a, arg2, c, q, imf)
+            return jax.jit(lambda a, c: _run(body, (a, c)))
+        body = lambda a: K.fma_mod(a, arg2, None, q, imf)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "reduce_mod":
+        q, imf, omf = static
+        body = lambda a: K.reduce_mod(a, q, imf, omf)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "cmp_add":
+        cmp, bound, diff = static
+        body = lambda a: K.cmp_add(a, cmp, bound, diff)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "cmp_sub_mod":
+        q, cmp, bound, diff = static
+        body = lambda a: K.cmp_sub_mod(a, q, cmp, bound, diff)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "mont_form_in":
+        (q,) = static
+        body = lambda a: K.montgomery_form_in(a, q)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "mont_form_out":
+        (q,) = static
+        body = lambda a: K.montgomery_form_out(a, q)
+        return jax.jit(lambda a: _run(body, (a,)))
+    if op == "mont_mult_reduce":
+        (q,) = static
+        body = lambda a, b: K.montgomery_mult_reduce(a, b, q)
+        return jax.jit(lambda a, b: _run(body, (a, b)))
+    raise ValueError(f"unknown op {op}")
+
+
+def _coerce(x):
+    if isinstance(x, U64):
+        return x, False
+    return to_limbs(np.asarray(x, dtype=np.uint64)), True
+
+
+def _result(out: U64, was_host: bool):
+    return from_limbs(out) if was_host else out
+
+
+def eltwise_add_mod(a, b, modulus: int):
+    """result[i] = (a[i] + b[i]) mod q; b may be a scalar. Inputs < q."""
+    a_l, host = _coerce(a)
+    if np.isscalar(b) or isinstance(b, int):
+        return _result(_jitted("add_mod_vs", modulus, int(b))(a_l), host)
+    b_l, _ = _coerce(b)
+    return _result(_jitted("add_mod_vv", modulus)(a_l, b_l), host)
+
+
+def eltwise_sub_mod(a, b, modulus: int):
+    """result[i] = (a[i] - b[i]) mod q; b may be a scalar. Inputs < q."""
+    a_l, host = _coerce(a)
+    if np.isscalar(b) or isinstance(b, int):
+        return _result(_jitted("sub_mod_vs", modulus, int(b))(a_l), host)
+    b_l, _ = _coerce(b)
+    return _result(_jitted("sub_mod_vv", modulus)(a_l, b_l), host)
+
+
+def eltwise_mult_mod(a, b, modulus: int, input_mod_factor: int = 1):
+    """result[i] = (a[i] * b[i]) mod q; inputs < IMF*q, IMF in {1,2,4}."""
+    a_l, host = _coerce(a)
+    b_l, _ = _coerce(b)
+    return _result(
+        _jitted("mult_mod", modulus, input_mod_factor)(a_l, b_l), host)
+
+
+def eltwise_fma_mod(arg1, arg2: int, arg3, modulus: int,
+                    input_mod_factor: int = 1):
+    """result[i] = (arg1[i] * arg2 + arg3[i]) mod q; arg3 may be None."""
+    a_l, host = _coerce(arg1)
+    if arg3 is None:
+        fn = _jitted("fma_mod", modulus, int(arg2), input_mod_factor, False)
+        return _result(fn(a_l), host)
+    c_l, _ = _coerce(arg3)
+    fn = _jitted("fma_mod", modulus, int(arg2), input_mod_factor, True)
+    return _result(fn(a_l, c_l), host)
+
+
+def eltwise_reduce_mod(a, modulus: int, input_mod_factor: int,
+                       output_mod_factor: int):
+    """Range change: IMF in {2, 4, modulus} -> OMF in {1, 2}."""
+    a_l, host = _coerce(a)
+    fn = _jitted("reduce_mod", modulus, input_mod_factor, output_mod_factor)
+    return _result(fn(a_l), host)
+
+
+def eltwise_cmp_add(a, cmp: str, bound: int, diff: int):
+    """result[i] = cmp(a[i], bound) ? a[i] + diff : a[i]."""
+    a_l, host = _coerce(a)
+    return _result(_jitted("cmp_add", cmp, bound, diff)(a_l), host)
+
+
+def eltwise_cmp_sub_mod(a, modulus: int, cmp: str, bound: int, diff: int):
+    """result[i] = cmp(a[i], bound) ? (a[i] - diff) mod q : a[i] mod q."""
+    a_l, host = _coerce(a)
+    return _result(
+        _jitted("cmp_sub_mod", modulus, cmp, bound, diff)(a_l), host)
+
+
+def eltwise_montgomery_form_in(a, modulus: int):
+    """a * 2^64 mod q."""
+    a_l, host = _coerce(a)
+    return _result(_jitted("mont_form_in", modulus)(a_l), host)
+
+
+def eltwise_montgomery_form_out(a, modulus: int):
+    """a * 2^-64 mod q."""
+    a_l, host = _coerce(a)
+    return _result(_jitted("mont_form_out", modulus)(a_l), host)
+
+
+def eltwise_montgomery_mult_reduce(a, b, modulus: int):
+    """REDC(a*b) = a*b*2^-64 mod q for a, b in [0, q)."""
+    a_l, host = _coerce(a)
+    b_l, _ = _coerce(b)
+    return _result(_jitted("mont_mult_reduce", modulus)(a_l, b_l), host)

@@ -1,0 +1,124 @@
+"""Eltwise dispatch-path tests: jnp (and Pallas when on TPU) vs the oracle.
+
+The same public entry points are exercised on whichever backend the session
+provides; on CPU runs this covers the portable jnp path, and the separate
+TPU bench/CI covers the Pallas path bit-exactly with identical calls.
+"""
+
+import numpy as np
+import pytest
+
+from hexl_tpu import nt, ref
+from hexl_tpu.eltwise import (eltwise_add_mod, eltwise_cmp_add,
+                              eltwise_cmp_sub_mod, eltwise_fma_mod,
+                              eltwise_montgomery_form_in,
+                              eltwise_montgomery_form_out,
+                              eltwise_montgomery_mult_reduce,
+                              eltwise_mult_mod, eltwise_reduce_mod,
+                              eltwise_sub_mod)
+
+SIZES = [1, 7, 128, 1000, 4096]
+Q_BITS = [20, 30, 45, 50, 60, 61]
+
+
+def _rng(*key):
+    return np.random.default_rng(abs(hash(key)) % (2**32))
+
+
+@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("q_bits", [30, 60])
+def test_add_sub_mod(n, q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    rng = _rng("addsub", n, q_bits)
+    a = rng.integers(0, q, size=n, dtype=np.uint64)
+    b = rng.integers(0, q, size=n, dtype=np.uint64)
+    np.testing.assert_array_equal(eltwise_add_mod(a, b, q),
+                                  ref.eltwise_add_mod(a, b, q))
+    np.testing.assert_array_equal(eltwise_sub_mod(a, b, q),
+                                  ref.eltwise_sub_mod(a, b, q))
+    s = int(rng.integers(0, q))
+    np.testing.assert_array_equal(eltwise_add_mod(a, s, q),
+                                  ref.eltwise_add_mod(a, s, q))
+    np.testing.assert_array_equal(eltwise_sub_mod(a, s, q),
+                                  ref.eltwise_sub_mod(a, s, q))
+
+
+@pytest.mark.parametrize("q_bits", Q_BITS)
+@pytest.mark.parametrize("imf", [1, 2, 4])
+def test_mult_mod(q_bits, imf):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    if imf * q >= (1 << 63):
+        pytest.skip("IMF * q out of range")
+    rng = _rng("mult", q_bits, imf)
+    a = rng.integers(0, imf * q, size=2048, dtype=np.uint64)
+    b = rng.integers(0, imf * q, size=2048, dtype=np.uint64)
+    np.testing.assert_array_equal(eltwise_mult_mod(a, b, q, imf),
+                                  ref.eltwise_mult_mod(a, b, q, imf))
+
+
+@pytest.mark.parametrize("imf", [1, 2, 4, 8])
+@pytest.mark.parametrize("with_arg3", [True, False])
+def test_fma_mod(imf, with_arg3):
+    q = nt.generate_primes(1, 59, True)[0]
+    rng = _rng("fma", imf, with_arg3)
+    a1 = rng.integers(0, imf * q, size=1024, dtype=np.uint64)
+    a2 = int(rng.integers(0, imf * q))
+    a3 = rng.integers(0, imf * q, size=1024, dtype=np.uint64) \
+        if with_arg3 else None
+    np.testing.assert_array_equal(
+        eltwise_fma_mod(a1, a2, a3, q, imf),
+        ref.eltwise_fma_mod(a1, a2, a3, q, imf))
+
+
+@pytest.mark.parametrize("q_bits", [30, 50, 61])
+def test_reduce_mod(q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    rng = _rng("reduce", q_bits)
+    x = rng.integers(0, 1 << 63, size=1024, dtype=np.uint64)
+    for imf, omf in [(q, 1), (q, 2), (2, 1), (4, 1), (4, 2), (2, 2)]:
+        xin = x if imf == q else rng.integers(0, imf * q, size=1024,
+                                              dtype=np.uint64)
+        np.testing.assert_array_equal(
+            eltwise_reduce_mod(xin, q, imf, omf),
+            ref.eltwise_reduce_mod(xin, q, imf, omf),
+            err_msg=f"imf={imf} omf={omf}")
+
+
+@pytest.mark.parametrize("cmp", ref.ALL_CMPS)
+def test_cmp_add(cmp):
+    rng = _rng("cmpadd", cmp)
+    a = rng.integers(0, 1 << 62, size=777, dtype=np.uint64)
+    bound = int(rng.integers(0, 1 << 62))
+    diff = int(rng.integers(1, 1 << 60))
+    np.testing.assert_array_equal(eltwise_cmp_add(a, cmp, bound, diff),
+                                  ref.eltwise_cmp_add(a, cmp, bound, diff))
+
+
+@pytest.mark.parametrize("cmp", ref.ALL_CMPS)
+def test_cmp_sub_mod(cmp):
+    q = nt.generate_primes(1, 51, True)[0]
+    rng = _rng("cmpsub", cmp)
+    a = rng.integers(0, 8 * q, size=777, dtype=np.uint64)
+    bound = int(rng.integers(0, 4 * q))
+    diff = int(rng.integers(1, q))
+    np.testing.assert_array_equal(
+        eltwise_cmp_sub_mod(a, q, cmp, bound, diff),
+        ref.eltwise_cmp_sub_mod(a, q, cmp, bound, diff))
+
+
+def test_montgomery_family():
+    q = nt.generate_primes(1, 50, True)[0]
+    rng = _rng("mont")
+    a = rng.integers(0, q, size=512, dtype=np.uint64)
+    b = rng.integers(0, q, size=512, dtype=np.uint64)
+    a_m = eltwise_montgomery_form_in(a, q)
+    np.testing.assert_array_equal(
+        a_m, (a.astype(object) * ((1 << 64) % q) % q).astype(np.uint64))
+    back = eltwise_montgomery_form_out(a_m, q)
+    np.testing.assert_array_equal(back, a)
+    # REDC(form_in(a) * form_in(b)) == form_in(a*b)
+    b_m = eltwise_montgomery_form_in(b, q)
+    ab_m = eltwise_montgomery_mult_reduce(a_m, b_m, q)
+    expected = eltwise_montgomery_form_in(
+        (a.astype(object) * b.astype(object) % q).astype(np.uint64), q)
+    np.testing.assert_array_equal(ab_m, expected)
