@@ -1,0 +1,89 @@
+"""Negacyclic NTT over Z_q[X]/(X^N + 1) — public engine API.
+
+Usage parity with the reference NTT class (hexl/include/hexl/ntt/ntt.hpp):
+
+    ntt = NTT(degree=4096, modulus=q)
+    y = ntt.forward(x, input_mod_factor=1, output_mod_factor=1)
+    x = ntt.inverse(y, input_mod_factor=1, output_mod_factor=1)
+
+Output of `forward` is in bit-reversed order (position-for-position identical
+to the reference, including lazy output ranges). Inputs may be host numpy
+uint64 arrays or device `limb.U64` pytrees of shape (..., N) — batched over
+leading axes (the natural TPU formulation: a batch of RNS polynomials is one
+(num_primes, N) call... per prime since q is static per plan).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from .. import config
+from ..limb import U64, from_limbs, to_limbs
+from . import jnp_ntt
+from .plan import NttPlan, check_arguments, clear_plan_cache, get_plan
+
+__all__ = ["NTT", "NttPlan", "get_plan", "clear_plan_cache",
+           "check_arguments"]
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
+    plan = get_plan(n, q)
+    if use_pallas:
+        from . import pallas_ntt
+        return jax.jit(lambda x: pallas_ntt.fwd_ntt(x, plan, imf, omf))
+    return jax.jit(lambda x: jnp_ntt.fwd_ntt(x, plan, imf, omf))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_inv(n: int, q: int, imf: int, omf: int, use_pallas: bool):
+    plan = get_plan(n, q)
+    if use_pallas:
+        from . import pallas_ntt
+        return jax.jit(lambda x: pallas_ntt.inv_ntt(x, plan, imf, omf))
+    return jax.jit(lambda x: jnp_ntt.inv_ntt(x, plan, imf, omf))
+
+
+class NTT:
+    """Per-(N, q) transform engine; construction precomputes twiddles."""
+
+    def __init__(self, degree: int, modulus: int):
+        self.plan = get_plan(degree, modulus)
+        self.degree = degree
+        self.modulus = modulus
+
+    @property
+    def root(self) -> int:
+        """Minimal primitive 2N-th root of unity used by this engine."""
+        return self.plan.root
+
+    def _dispatch(self, x, fwd: bool, imf: int, omf: int):
+        host = not isinstance(x, U64)
+        x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
+        use_pallas = config.use_pallas() and self.plan.rows is not None
+        fn = (_jitted_fwd if fwd else _jitted_inv)(
+            self.degree, self.modulus, imf, omf, use_pallas)
+        out = fn(x_l)
+        return from_limbs(out) if host else out
+
+    def forward(self, x, input_mod_factor: int = 1,
+                output_mod_factor: int = 1):
+        """Forward NTT; input < IMF*q (IMF in {1,2,4}), bit-reversed output
+        in [0, q) for OMF=1 or [0, 4q) for OMF=4."""
+        return self._dispatch(x, True, input_mod_factor, output_mod_factor)
+
+    def inverse(self, x, input_mod_factor: int = 1,
+                output_mod_factor: int = 1):
+        """Inverse NTT; bit-reversed input < IMF*q (IMF in {1,2}), output
+        in [0, q) for OMF=1 or [0, 2q) for OMF=2."""
+        return self._dispatch(x, False, input_mod_factor, output_mod_factor)
+
+    # Table accessors (parity with the reference engine's getters).
+    def root_of_unity_powers(self) -> np.ndarray:
+        return self.plan.rop
+
+    def inv_root_of_unity_powers(self) -> np.ndarray:
+        return self.plan.irop

@@ -1,0 +1,256 @@
+"""Staged negacyclic NTT on U64 limbs — the portable XLA compute body.
+
+Structure (TPU-first re-derivation of the reference's radix-2 transform,
+hexl/ntt/ntt-radix-2.cpp, with identical lazy-reduction semantics):
+
+  forward:  [phase A: strides N/2..128 as row-block butterflies on the
+             (R, 128) view]  ->  tile transpose  ->  [phase B: strides
+             64..1 as sublane butterflies with lane-varying twiddles]
+             -> transpose back -> optional [0,4q)->[0,q) reduction.
+  inverse:  transpose -> [phase B': strides 1..64] -> transpose back ->
+             [phase A': strides 128..N/4] -> final fused stage x N^{-1}
+             -> optional [0,2q)->[0,q) reduction.
+
+Value ranges are tracked exactly as the reference does: forward butterflies
+keep values in [0, 4q) (Harvey), inverse in [0, 2q). The same functions are
+the bodies of the Pallas kernels; here they run as plain XLA.
+
+The small-N (< 1024) path does flat (m, 2, t) reshapes instead — those
+sizes are latency-bound anyway.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..limb import (U64, add64, cond_sub64, const64, mullo64, mulhi64,
+                    reduce_mod_lazy64, sub64)
+from .plan import LANES, MIN_2D_N, NttPlan
+
+
+def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
+    """Lazy Shoup multiply with broadcastable twiddles; output in [0, 2q)."""
+    q_hat = mulhi64(x, wp)
+    return sub64(mullo64(x, w), mullo64(q_hat, q))
+
+
+def _fwd_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
+    """Harvey forward butterfly: inputs [0,4q) -> outputs [0,4q)."""
+    tx = cond_sub64(xs, two_q)
+    t = _shoup(ys, w, wp, q)
+    return add64(tx, t), sub64(add64(tx, two_q), t)
+
+
+def _inv_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
+    """Harvey inverse butterfly: inputs [0,2q) -> outputs [0,2q)."""
+    tx = cond_sub64(add64(xs, ys), two_q)
+    ty = sub64(add64(xs, two_q), ys)
+    return tx, _shoup(ty, w, wp, q)
+
+
+def _split2(x: U64, axis: int, m: int, t: int) -> tuple:
+    """View (..., m*2*t edge dims...) — reshape a single axis into (m, 2, t)
+    and return the X/Y halves plus a closure to reassemble."""
+    def reshape_plane(p):
+        shape = p.shape
+        return p.reshape(shape[:axis] + (m, 2, t) + shape[axis + 1:])
+    hi = reshape_plane(x.hi)
+    lo = reshape_plane(x.lo)
+    # X/Y halves along the inserted axis+1
+    sl_x = [slice(None)] * hi.ndim
+    sl_y = [slice(None)] * hi.ndim
+    sl_x[axis + 1] = 0
+    sl_y[axis + 1] = 1
+    xs = U64(hi[tuple(sl_x)], lo[tuple(sl_x)])
+    ys = U64(hi[tuple(sl_y)], lo[tuple(sl_y)])
+
+    def reassemble(new_x: U64, new_y: U64) -> U64:
+        h = jnp.stack([new_x.hi, new_y.hi], axis=axis + 1)
+        l = jnp.stack([new_x.lo, new_y.lo], axis=axis + 1)
+        orig = h.shape[:axis] + (m * 2 * t,) + h.shape[axis + 3:]
+        return U64(h.reshape(orig), l.reshape(orig))
+
+    return xs, ys, reassemble
+
+
+def _transpose_tiles(x: U64, tiles: int, lane_l: int) -> U64:
+    """(..., R, 128) -> (..., tiles, 128, L): tile-transpose rows<->lanes."""
+    def t(p):
+        shape = p.shape[:-2] + (tiles, lane_l, LANES)
+        return p.reshape(shape).swapaxes(-1, -2)
+    return U64(t(x.hi), t(x.lo))
+
+
+def _untranspose_tiles(x: U64, rows: int) -> U64:
+    """(..., tiles, 128, L) -> (..., R, 128)."""
+    def t(p):
+        q = p.swapaxes(-1, -2)
+        return q.reshape(q.shape[:-3] + (rows, LANES))
+    return U64(t(x.hi), t(x.lo))
+
+
+def _bcast_w(w: U64, extra_dims: int, pos: str) -> U64:
+    """Insert broadcast axes into a twiddle table.
+
+    pos='a': (m,) -> (m, 1, 1)   [phase A: broadcast over rows-in-half, lanes]
+    pos='b': (tiles, nb, L) -> (tiles, nb, 1, L)  [phase B: broadcast over t]
+    """
+    if pos == "a":
+        return U64(w.hi[:, None, None], w.lo[:, None, None])
+    return U64(w.hi[:, :, None, :], w.lo[:, :, None, :])
+
+
+def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
+            output_mod_factor: int = 1) -> U64:
+    """Forward negacyclic NTT of x (..., N), bit-reversed output.
+
+    Input < IMF*q, IMF in {1,2,4}; output in [0,q) (OMF=1) or [0,4q) (OMF=4).
+    """
+    if input_mod_factor not in (1, 2, 4):
+        raise ValueError("input_mod_factor must be 1, 2 or 4")
+    if output_mod_factor not in (1, 4):
+        raise ValueError("output_mod_factor must be 1 or 4")
+    n, q_int = plan.n, plan.q
+    q = const64(q_int)
+    two_q = const64(2 * q_int)
+
+    if n < MIN_2D_N:
+        out = _fwd_small(x, plan, q, two_q)
+    else:
+        out = _fwd_2d(x, plan, q, two_q)
+    if output_mod_factor == 1:
+        out = reduce_mod_lazy64(out, q_int, 4)
+    return out
+
+
+def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    n = plan.n
+    m = 1
+    while m < n:
+        t = n // (2 * m)
+        xs, ys, join = _split2(x, x.lo.ndim - 1, m, t)
+        w = U64(plan.rop_dev.hi[m:2 * m], plan.rop_dev.lo[m:2 * m])
+        wp = U64(plan.prop_dev.hi[m:2 * m], plan.prop_dev.lo[m:2 * m])
+        w = U64(w.hi[:, None], w.lo[:, None])
+        wp = U64(wp.hi[:, None], wp.lo[:, None])
+        nx, ny = _fwd_butterfly(xs, ys, w, wp, q, two_q)
+        x = join(nx, ny)
+        m *= 2
+    return x
+
+
+def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    n, rows = plan.n, plan.rows
+    shape = x.lo.shape
+    x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
+            x.lo.reshape(shape[:-1] + (rows, LANES)))
+    row_axis = x.lo.ndim - 2
+    # Phase A: strides >= 128 pair row blocks.
+    for m, t, w, wp in plan.fwd_a:
+        xs, ys, join = _split2(x, row_axis, m, t // LANES)
+        nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "a"),
+                                _bcast_w(wp, 0, "a"), q, two_q)
+        x = join(nx, ny)
+    # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
+    x = _transpose_tiles(x, plan.tiles, plan.lane_l)
+    c_axis = x.lo.ndim - 2
+    for m, t, w, wp in plan.fwd_b:
+        nb = LANES // (2 * t)
+        xs, ys, join = _split2(x, c_axis, nb, t)
+        nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "b"),
+                                _bcast_w(wp, 0, "b"), q, two_q)
+        x = join(nx, ny)
+    x = _untranspose_tiles(x, rows)
+    return U64(x.hi.reshape(shape), x.lo.reshape(shape))
+
+
+def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
+            output_mod_factor: int = 1) -> U64:
+    """Inverse negacyclic NTT from bit-reversed input (..., N).
+
+    Input < IMF*q, IMF in {1,2}; output in [0,q) (OMF=1) or [0,2q) (OMF=2).
+    """
+    if input_mod_factor not in (1, 2):
+        raise ValueError("input_mod_factor must be 1 or 2")
+    if output_mod_factor not in (1, 2):
+        raise ValueError("output_mod_factor must be 1 or 2")
+    n, q_int = plan.n, plan.q
+    q = const64(q_int)
+    two_q = const64(2 * q_int)
+
+    if n < MIN_2D_N:
+        out = _inv_small(x, plan, q, two_q)
+    else:
+        out = _inv_2d(x, plan, q, two_q)
+    if output_mod_factor == 1:
+        out = cond_sub64(out, q)
+    return out
+
+
+def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
+                     two_q: U64) -> tuple:
+    """Last butterfly stage fused with multiplication by N^{-1}."""
+    tx = cond_sub64(add64(xs, ys), two_q)
+    ty = sub64(add64(xs, two_q), ys)
+    nx = _shoup(tx, const64(plan.inv_n), const64(plan.inv_n_precon), q)
+    ny = _shoup(ty, const64(plan.inv_n_w), const64(plan.inv_n_w_precon), q)
+    return nx, ny
+
+
+def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    n = plan.n
+    axis = x.lo.ndim - 1
+    root_index = 1
+    t = 1
+    while t < n // 2:
+        m = n // (2 * t)
+        xs, ys, join = _split2(x, axis, m, t)
+        w = U64(plan.irop_dev.hi[root_index:root_index + m],
+                plan.irop_dev.lo[root_index:root_index + m])
+        wp = U64(plan.pirop_dev.hi[root_index:root_index + m],
+                 plan.pirop_dev.lo[root_index:root_index + m])
+        w = U64(w.hi[:, None], w.lo[:, None])
+        wp = U64(wp.hi[:, None], wp.lo[:, None])
+        nx, ny = _inv_butterfly(xs, ys, w, wp, q, two_q)
+        x = join(nx, ny)
+        root_index += m
+        t *= 2
+    xs, ys, join = _split2(x, axis, 1, n // 2)
+    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+    return join(nx, ny)
+
+
+def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    n, rows = plan.n, plan.rows
+    shape = x.lo.shape
+    x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
+            x.lo.reshape(shape[:-1] + (rows, LANES)))
+    # Phase B first (strides 1..64) in the transposed layout.
+    x = _transpose_tiles(x, plan.tiles, plan.lane_l)
+    c_axis = x.lo.ndim - 2
+    for m, t, w, wp in plan.inv_b:
+        nb = LANES // (2 * t)
+        xs, ys, join = _split2(x, c_axis, nb, t)
+        nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "b"),
+                                _bcast_w(wp, 0, "b"), q, two_q)
+        x = join(nx, ny)
+    x = _untranspose_tiles(x, rows)
+    # Phase A (strides 128 .. N/4) on row blocks.
+    row_axis = x.lo.ndim - 2
+    for m, t, w, wp in plan.inv_a:
+        xs, ys, join = _split2(x, row_axis, m, t // LANES)
+        nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "a"),
+                                _bcast_w(wp, 0, "a"), q, two_q)
+        x = join(nx, ny)
+    # Final fused stage pairs row r with row r + R/2.
+    half = rows // 2
+    sl = [slice(None)] * x.lo.ndim
+    sl_x, sl_y = list(sl), list(sl)
+    sl_x[row_axis] = slice(0, half)
+    sl_y[row_axis] = slice(half, rows)
+    xs = U64(x.hi[tuple(sl_x)], x.lo[tuple(sl_x)])
+    ys = U64(x.hi[tuple(sl_y)], x.lo[tuple(sl_y)])
+    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+    hi = jnp.concatenate([nx.hi, ny.hi], axis=row_axis)
+    lo = jnp.concatenate([nx.lo, ny.lo], axis=row_axis)
+    return U64(hi.reshape(shape), lo.reshape(shape))

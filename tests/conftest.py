@@ -8,9 +8,16 @@ without a pod. Set HEXL_TPU_TEST_PLATFORM=tpu to run against real hardware.
 import os
 
 if os.environ.get("HEXL_TPU_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU even when the session env points JAX at a TPU tunnel
+    # (e.g. JAX_PLATFORMS=axon) — unit tests must not depend on hardware.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+
+# Persistent compilation cache: the staged NTT graphs are compile-heavy;
+# cache them across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hexl_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

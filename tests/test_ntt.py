@@ -1,0 +1,128 @@
+"""Device NTT tests: staged limb NTT vs the oracle, golden vectors, ranges."""
+
+import numpy as np
+import pytest
+
+from hexl_tpu import nt, ref
+from hexl_tpu.ntt import NTT
+from tests.test_ref_ntt import GOLDEN
+
+
+@pytest.mark.parametrize("n,q,inp,expected", GOLDEN)
+def test_golden_vectors(n, q, inp, expected):
+    ntt = NTT(n, q)
+    x = np.array(inp, dtype=np.uint64)
+    out = ntt.forward(x, 1, 1)
+    np.testing.assert_array_equal(out, np.array(expected, dtype=np.uint64))
+    # Lazy variant reduced mod q must agree (reference test-ntt.cpp:245-251)
+    out4 = ntt.forward(x, 2, 4)
+    np.testing.assert_array_equal(out4 % np.uint64(q),
+                                  np.array(expected, dtype=np.uint64))
+    assert np.all(out4 < np.uint64(4 * q))
+    back = ntt.inverse(out, 1, 1)
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("log_n", [1, 3, 6, 9, 10, 12, 14])
+@pytest.mark.parametrize("q_bits", [30, 50, 60])
+def test_random_vs_oracle(log_n, q_bits):
+    n = 1 << log_n
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(log_n * 100 + q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+
+    rop, irop = ntt.plan.rop, ntt.plan.irop
+    prop, pirop = ntt.plan.prop, ntt.plan.pirop
+
+    got = ntt.forward(x, 1, 1)
+    exp = ref.fwd_ntt_radix2(x, q, rop, prop, 1, 1)
+    np.testing.assert_array_equal(got, exp)
+    back = ntt.inverse(got, 1, 1)
+    np.testing.assert_array_equal(back, x)
+
+
+# Full input/output mod-factor matrix on one flat-path and one 2D-path size
+# (the per-(imf, omf) variants are separate jit graphs — keep this matrix
+# to two degrees to bound compile time; ranges are asserted bit-exactly).
+@pytest.mark.parametrize("n", [64, 4096])
+@pytest.mark.parametrize("q_bits", [50, 60])
+def test_mod_factor_matrix(n, q_bits):
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(n + q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    rop, irop = ntt.plan.rop, ntt.plan.irop
+    prop, pirop = ntt.plan.prop, ntt.plan.pirop
+
+    for imf in (1, 2, 4):
+        for omf in (1, 4):
+            got = ntt.forward(x, imf, omf)
+            exp = ref.fwd_ntt_radix2(x, q, rop, prop, imf, omf)
+            np.testing.assert_array_equal(got, exp,
+                                          err_msg=f"fwd imf={imf} omf={omf}")
+    y = ref.fwd_ntt_radix2(x, q, rop, prop, 1, 1)
+    for imf in (1, 2):
+        for omf in (1, 2):
+            got = ntt.inverse(y, imf, omf)
+            exp = ref.inv_ntt_radix2(y, q, irop, pirop, imf, omf)
+            np.testing.assert_array_equal(got, exp,
+                                          err_msg=f"inv imf={imf} omf={omf}")
+
+
+def test_batched():
+    n, q_bits = 2048, 45
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, q, size=(3, 5, n), dtype=np.uint64)
+    got = ntt.forward(x, 1, 1)
+    for i in range(3):
+        for j in range(5):
+            exp = ref.fwd_ntt_radix2(x[i, j], q, ntt.plan.rop,
+                                     ntt.plan.prop, 1, 1)
+            np.testing.assert_array_equal(got[i, j], exp)
+    back = ntt.inverse(got, 1, 1)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_lazy_input_forward():
+    n = 4096
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    x4 = x + np.uint64(q) * rng.integers(0, 4, size=n, dtype=np.uint64)
+    exp = ntt.forward(x, 1, 1)
+    np.testing.assert_array_equal(ntt.forward(x4, 4, 1), exp)
+
+
+def test_check_arguments():
+    with pytest.raises(ValueError):
+        NTT(100, 769)          # not a power of two
+    with pytest.raises(ValueError):
+        NTT(4, 1 << 63)        # modulus too large
+    with pytest.raises(ValueError):
+        NTT(256, 769)          # 769 != 1 mod 512
+    with pytest.raises(ValueError):
+        NTT(4, 9)              # 9 = 1 mod 8 but not prime
+
+
+def test_poly_mult_pipeline():
+    """Minimum end-to-end slice: fwd -> mult -> inv equals negacyclic conv."""
+    from hexl_tpu.eltwise import eltwise_mult_mod
+    n = 4096
+    q = nt.generate_primes(1, 45, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, q, size=n, dtype=np.uint64)
+    b = rng.integers(0, q, size=n, dtype=np.uint64)
+    fa = ntt.forward(a, 1, 1)
+    fb = ntt.forward(b, 1, 1)
+    c = ntt.inverse(eltwise_mult_mod(fa, fb, q), 1, 1)
+    # Oracle computes the same pipeline
+    fa_o = ref.fwd_ntt_radix2(a, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    fb_o = ref.fwd_ntt_radix2(b, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    c_o = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa_o, fb_o, q), q,
+                             ntt.plan.irop, ntt.plan.pirop, 1, 1)
+    np.testing.assert_array_equal(c, c_o)
