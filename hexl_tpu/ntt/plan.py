@@ -46,6 +46,79 @@ def check_arguments(degree: int, modulus: int) -> None:
         raise ValueError("modulus must be prime")
 
 
+def phase_b_table(table: np.ndarray, base: int, t: int, tiles: int,
+                  lane_l: int) -> np.ndarray:
+    """Lay out table[base + block] in transposed (tiles, nb, L) order.
+
+    Transposed coords: j = (tile*L + r)*128 + c, block = j // (2t)
+    = (tile*L + r) * (128//(2t)) + c//(2t). Entry [tile, cb, r] holds the
+    twiddle for butterfly block (tile*L + r)*nb + cb. Used by both the
+    single-chip plan and the per-shard tables of the distributed NTT.
+    """
+    nb = LANES // (2 * t)
+    tile_idx = np.arange(tiles).reshape(tiles, 1, 1)
+    cb_idx = np.arange(nb).reshape(1, nb, 1)
+    r_idx = np.arange(lane_l).reshape(1, 1, lane_l)
+    block = (tile_idx * lane_l + r_idx) * nb + cb_idx
+    return table[base + block]
+
+
+def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
+                      irop: np.ndarray, pirop: np.ndarray,
+                      tiles: int, lane_l: int, base_offset: int = 0,
+                      local_n: int | None = None):
+    """Build (fwd_a, fwd_b, inv_b, inv_a) stage-table lists for a length-
+    `local_n` staged transform whose block twiddles start at `base_offset`
+    within each stage's global table segment.
+
+    For the single-chip plan local_n == n and base_offset == 0. For the
+    distributed NTT, device d passes local_n = n // D and base_offset =
+    d * local_n // (2t) per stage (handled here via the closure over t).
+    Returns lists of (m_local, t, U64 w, U64 wp).
+    """
+    if local_n is None:
+        local_n = n
+    fwd_a, fwd_b, inv_b, inv_a = [], [], [], []
+    # Forward: strides descend local_n/2 .. 1; global stage has m_g = n/(2t)
+    # blocks starting at table index m_g; this shard covers blocks
+    # [base_offset//(2t) ... ) of them.
+    t = local_n // 2
+    while t >= 1:
+        m_g = n // (2 * t)
+        m_local = local_n // (2 * t)
+        base = m_g + base_offset // (2 * t)
+        if t >= LANES:
+            w, wp = rop[base:base + m_local], prop[base:base + m_local]
+            fwd_a.append((m_local, t, to_limbs(w), to_limbs(wp)))
+        else:
+            w = phase_b_table(rop, base, t, tiles, lane_l)
+            wp = phase_b_table(prop, base, t, tiles, lane_l)
+            fwd_b.append((m_local, t, to_limbs(w), to_limbs(wp)))
+        t //= 2
+    # Inverse: stage-major irop walked by ascending stride; global root
+    # index for the stage at stride t is 1 + sum_{s<t} n/(2s) = n/(2t)·...
+    # computed incrementally.
+    root_index = 1
+    t = 1
+    while t < local_n:  # includes the final local stage only if local_n < n
+        m_g = n // (2 * t)
+        m_local = local_n // (2 * t)
+        if t == n // 2:
+            break  # global final stage is fused with N^{-1}
+        base = root_index + base_offset // (2 * t)
+        if t < LANES:
+            w = phase_b_table(irop, base, t, tiles, lane_l)
+            wp = phase_b_table(pirop, base, t, tiles, lane_l)
+            inv_b.append((m_local, t, to_limbs(w), to_limbs(wp)))
+        else:
+            w = irop[base:base + m_local]
+            wp = pirop[base:base + m_local]
+            inv_a.append((m_local, t, to_limbs(w), to_limbs(wp)))
+        root_index += m_g
+        t *= 2
+    return fwd_a, fwd_b, inv_b, inv_a
+
+
 class NttPlan:
     """Twiddle tables + derived constants for one (N, q) pair."""
 
@@ -86,64 +159,10 @@ class NttPlan:
 
     # -- 2D table construction ------------------------------------------
 
-    def _fwd_block_w(self, m: int) -> np.ndarray:
-        """Twiddles (and order) for the m-block forward stage: rop[m+b]."""
-        return self.rop[m:2 * m], self.prop[m:2 * m]
-
-    def _phase_b_table(self, table: np.ndarray, base: int, m: int,
-                       t: int) -> np.ndarray:
-        """Lay out table[base + block] in transposed (tiles, nb, L) order.
-
-        Transposed coords: j = (tile*L + r)*128 + c, block = j // (2t)
-        = (tile*L + r) * (128//(2t)) + c//(2t). Entry [tile, cb, r] holds
-        the twiddle for butterfly block (tile*L + r)*nb + cb.
-        """
-        nb = LANES // (2 * t)
-        tiles, L = self.tiles, self.lane_l
-        tile_idx = np.arange(tiles).reshape(tiles, 1, 1)
-        cb_idx = np.arange(nb).reshape(1, nb, 1)
-        r_idx = np.arange(L).reshape(1, 1, L)
-        block = (tile_idx * L + r_idx) * nb + cb_idx
-        return table[base + block]
-
     def _build_2d_tables(self) -> None:
-        n, q = self.n, self.q
-        # Forward phase A: stages m = 1 .. (t >= 128), i.e. m <= n/256.
-        self.fwd_a: List[Tuple[int, int, U64, U64]] = []
-        m = 1
-        while n // (2 * m) >= LANES:
-            t = n // (2 * m)
-            w, wp = self.rop[m:2 * m], self.prop[m:2 * m]
-            self.fwd_a.append((m, t, to_limbs(w), to_limbs(wp)))
-            m *= 2
-        # Forward phase B: strides 64 .. 1 in the transposed layout.
-        self.fwd_b: List[Tuple[int, int, U64, U64]] = []
-        t = LANES // 2
-        while t >= 1:
-            m = n // (2 * t)
-            w = self._phase_b_table(self.rop, m, m, t)
-            wp = self._phase_b_table(self.prop, m, m, t)
-            self.fwd_b.append((m, t, to_limbs(w), to_limbs(wp)))
-            t //= 2
-
-        # Inverse: stage-major irop is walked sequentially; strides ascend.
-        self.inv_b: List[Tuple[int, int, U64, U64]] = []
-        self.inv_a: List[Tuple[int, int, U64, U64]] = []
-        root_index = 1
-        t = 1
-        while t < n // 2:
-            m = n // (2 * t)
-            if t < LANES:
-                w = self._phase_b_table(self.irop, root_index, m, t)
-                wp = self._phase_b_table(self.pirop, root_index, m, t)
-                self.inv_b.append((m, t, to_limbs(w), to_limbs(wp)))
-            else:
-                w = self.irop[root_index:root_index + m]
-                wp = self.pirop[root_index:root_index + m]
-                self.inv_a.append((m, t, to_limbs(w), to_limbs(wp)))
-            root_index += m
-            t *= 2
-        # (final t = n/2 stage is fused with inv_n; uses irop[n-1])
+        self.fwd_a, self.fwd_b, self.inv_b, self.inv_a = build_stage_lists(
+            self.n, self.rop, self.prop, self.irop, self.pirop,
+            self.tiles, self.lane_l)
 
 
 # ---------------------------------------------------------------------------
