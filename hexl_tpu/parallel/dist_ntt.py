@@ -1,0 +1,350 @@
+"""Coefficient-sharded NTT over a jax.sharding.Mesh — the scale-out path.
+
+The reference library's only scaling device is a cache-blocking recursive
+split of the transform (hexl/ntt/fwd-ntt-avx512.cpp:384-403, noted in
+SURVEY.md §5); across chips the same decomposition becomes:
+
+  forward:  all_to_all "transpose"  ->  log2(D) cross-device butterfly
+            stages, now fully local on the regrouped axis  ->  all_to_all
+            back  ->  independent local sub-transform per shard (strides
+            t < N/D), using per-shard twiddle-table slices.
+  inverse:  the exact mirror, with the final N^{-1}-fused stage inside the
+            cross phase.
+
+The coefficient axis is sharded over the `coeff` mesh axis; leading batch
+dims (e.g. a batch of polynomials under one modulus) shard over `batch`.
+Exactly two all-to-alls of N/D coefficients per transform ride the ICI;
+everything else is local VPU work, so scaling efficiency is bounded by
+(butterfly work) / (butterfly work + 2 transposes), which is >90% for
+N >= 2^14 on an 8-chip ring.
+
+Per-shard twiddle tables are built host-side with the same machinery as the
+single-chip plan (hexl_tpu.ntt.plan.build_stage_lists with per-device base
+offsets) and passed into shard_map pre-sharded, so no twiddle traffic moves
+at transform time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from .. import nt
+from ..limb import (U64, add64, cond_sub64, const64, reduce_mod_lazy64,
+                    sub64, to_limbs, from_limbs)
+from ..ntt import jnp_ntt
+from ..ntt.jnp_ntt import _fwd_butterfly, _inv_butterfly, _shoup, _split2
+from ..ntt.plan import LANES, build_stage_lists, get_plan
+
+
+def make_mesh(n_coeff: int, n_batch: int = 1,
+              devices=None) -> Mesh:
+    """A (batch, coeff) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_coeff * n_batch]).reshape(
+        n_batch, n_coeff)
+    return Mesh(devices, ("batch", "coeff"))
+
+
+def _stack_stages(per_dev_stages):
+    """Stack per-device stage tables on a new leading device axis."""
+    out = []
+    n_stages = len(per_dev_stages[0])
+    for s in range(n_stages):
+        m, t = per_dev_stages[0][s][0], per_dev_stages[0][s][1]
+        w_hi = jnp.stack([d[s][2].hi for d in per_dev_stages])
+        w_lo = jnp.stack([d[s][2].lo for d in per_dev_stages])
+        p_hi = jnp.stack([d[s][3].hi for d in per_dev_stages])
+        p_lo = jnp.stack([d[s][3].lo for d in per_dev_stages])
+        out.append((m, t, U64(w_hi, w_lo), U64(p_hi, p_lo)))
+    return out
+
+
+class DistNTT:
+    """NTT with the coefficient axis sharded over `mesh`'s 'coeff' axis."""
+
+    def __init__(self, degree: int, modulus: int, mesh: Mesh):
+        self.mesh = mesh
+        self.n = degree
+        self.q = modulus
+        self.d = mesh.shape["coeff"]
+        if degree % (self.d * self.d) != 0:
+            raise ValueError("degree must be divisible by D^2")
+        self.local_n = degree // self.d
+        if self.local_n < 2 * LANES:
+            raise ValueError("local shard too small; reduce coeff axis")
+        self.plan = get_plan(degree, modulus)
+
+        local_rows = self.local_n // LANES
+        lane_l = min(local_rows, LANES)
+        tiles = local_rows // lane_l
+        self.local_rows, self.lane_l, self.tiles = local_rows, lane_l, tiles
+
+        p = self.plan
+        # Per-device local stage tables (leading device axis, sharded).
+        per_dev = [
+            build_stage_lists(degree, p.rop, p.prop, p.irop, p.pirop,
+                              tiles, lane_l, base_offset=d * self.local_n,
+                              local_n=self.local_n)
+            for d in range(self.d)
+        ]
+        self.fwd_a = _stack_stages([pd[0] for pd in per_dev])
+        self.fwd_b = _stack_stages([pd[1] for pd in per_dev])
+        self.inv_b = _stack_stages([pd[2] for pd in per_dev])
+        self.inv_a = _stack_stages([pd[3] for pd in per_dev])
+
+        # Cross-phase twiddles: device-axis stages m = 1 .. D/2 (fwd) use
+        # rop[m + b] where b is the device-block index — identical small
+        # tables on every shard (replicated).
+        self.cross_fwd = []
+        m = 1
+        while m <= self.d // 2:
+            self.cross_fwd.append(
+                (m, to_limbs(p.rop[m:2 * m]), to_limbs(p.prop[m:2 * m])))
+            m *= 2
+        # Inverse cross stages: strides t = local_n .. n/4 walk the
+        # stage-major irop sequentially after all local stages.
+        root_index = 1
+        t = 1
+        while t < self.local_n:
+            root_index += degree // (2 * t)
+            t *= 2
+        self.cross_inv = []
+        while t < degree // 2:
+            m = degree // (2 * t)
+            self.cross_inv.append(
+                (m, to_limbs(p.irop[root_index:root_index + m]),
+                 to_limbs(p.pirop[root_index:root_index + m])))
+            root_index += m
+            t *= 2
+
+        self._fwd_cache = {}
+        self._inv_cache = {}
+
+    # -- shard_map bodies -------------------------------------------------
+
+    def _cross_fwd_body(self, x: U64, q: U64, two_q: U64) -> U64:
+        """Device-axis butterflies on the (D, local_n/D) regrouped block."""
+        d = self.d
+        # x local shape (..., local_n); regroup to (D, local_n/D) chunks and
+        # transpose so the device axis is resident.
+        lc = self.local_n // d
+        shape = x.lo.shape
+        x = U64(x.hi.reshape(shape[:-1] + (d, lc)),
+                x.lo.reshape(shape[:-1] + (d, lc)))
+        x = U64(jax.lax.all_to_all(x.hi, "coeff", x.hi.ndim - 2,
+                                   x.hi.ndim - 2, tiled=False),
+                jax.lax.all_to_all(x.lo, "coeff", x.lo.ndim - 2,
+                                   x.lo.ndim - 2, tiled=False))
+        # Now axis -2 is the global device axis (length D), axis -1 is this
+        # shard's slice of local offsets. Run the cross stages on axis -2.
+        axis = x.lo.ndim - 2
+        for m, w, wp in self.cross_fwd:
+            xs, ys, join = _split2(x, axis, m, d // (2 * m))
+            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+            nx, ny = _fwd_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
+                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
+        return U64(x.hi.reshape(shape), x.lo.reshape(shape))
+
+    def _cross_inv_body(self, x: U64, q: U64, two_q: U64) -> U64:
+        d = self.d
+        lc = self.local_n // d
+        shape = x.lo.shape
+        x = U64(x.hi.reshape(shape[:-1] + (d, lc)),
+                x.lo.reshape(shape[:-1] + (d, lc)))
+        axis = x.lo.ndim - 2
+        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
+                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
+        for m, w, wp in self.cross_inv:
+            xs, ys, join = _split2(x, axis, m, d // (2 * m))
+            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+            nx, ny = _inv_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        # Final stage fused with N^{-1}: pairs device-halves (m = 1).
+        xs, ys, join = _split2(x, axis, 1, d // 2)
+        tx = cond_sub64(add64(xs, ys), two_q)
+        ty = sub64(add64(xs, two_q), ys)
+        p = self.plan
+        nx = _shoup(tx, const64(p.inv_n), const64(p.inv_n_precon), q)
+        ny = _shoup(ty, const64(p.inv_n_w), const64(p.inv_n_w_precon), q)
+        x = join(nx, ny)
+        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
+                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
+        return U64(x.hi.reshape(shape), x.lo.reshape(shape))
+
+    def _local_fwd_body(self, x: U64, stages_a, stages_b, omf: int,
+                        q: U64, two_q: U64) -> U64:
+        """Local sub-transform (strides local_n/2 .. 1) on this shard."""
+        shape = x.lo.shape
+        rows = self.local_rows
+        x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
+                x.lo.reshape(shape[:-1] + (rows, LANES)))
+        row_axis = x.lo.ndim - 2
+        for m, t, w, wp in stages_a:
+            xs, ys, join = _split2(x, row_axis, m, t // LANES)
+            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+            nx, ny = _fwd_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        x = jnp_ntt._transpose_tiles(x, self.tiles, self.lane_l)
+        c_axis = x.lo.ndim - 2
+        for m, t, w, wp in stages_b:
+            nb = LANES // (2 * t)
+            xs, ys, join = _split2(x, c_axis, nb, t)
+            wb = U64(w.hi[:, :, None, :], w.lo[:, :, None, :])
+            wpb = U64(wp.hi[:, :, None, :], wp.lo[:, :, None, :])
+            nx, ny = _fwd_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        x = jnp_ntt._untranspose_tiles(x, rows)
+        x = U64(x.hi.reshape(shape), x.lo.reshape(shape))
+        if omf == 1:
+            x = reduce_mod_lazy64(x, self.q, 4)
+        return x
+
+    def _local_inv_body(self, x: U64, stages_b, stages_a,
+                        q: U64, two_q: U64) -> U64:
+        shape = x.lo.shape
+        rows = self.local_rows
+        x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
+                x.lo.reshape(shape[:-1] + (rows, LANES)))
+        x = jnp_ntt._transpose_tiles(x, self.tiles, self.lane_l)
+        c_axis = x.lo.ndim - 2
+        for m, t, w, wp in stages_b:
+            nb = LANES // (2 * t)
+            xs, ys, join = _split2(x, c_axis, nb, t)
+            wb = U64(w.hi[:, :, None, :], w.lo[:, :, None, :])
+            wpb = U64(wp.hi[:, :, None, :], wp.lo[:, :, None, :])
+            nx, ny = _inv_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        x = jnp_ntt._untranspose_tiles(x, rows)
+        row_axis = x.lo.ndim - 2
+        for m, t, w, wp in stages_a:
+            xs, ys, join = _split2(x, row_axis, m, t // LANES)
+            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+            nx, ny = _inv_butterfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        return U64(x.hi.reshape(shape), x.lo.reshape(shape))
+
+    # -- public API --------------------------------------------------------
+
+    @staticmethod
+    def _x_spec(ndim: int) -> P:
+        """Coefficients shard over 'coeff'; the leading dim (if any) over
+        'batch'; middle dims replicated."""
+        if ndim == 1:
+            return P("coeff")
+        return P("batch", *([None] * (ndim - 2)), "coeff")
+
+    def _build_fwd(self, imf: int, omf: int, ndim: int):
+        mesh = self.mesh
+        x_spec = self._x_spec(ndim)
+
+        def body(x_hi, x_lo, *tables):
+            x = U64(x_hi, x_lo)
+            q = const64(self.q)
+            two_q = const64(2 * self.q)
+            na = len(self.fwd_a)
+            sa = [(self.fwd_a[i][0], self.fwd_a[i][1],
+                   U64(tables[4 * i][0], tables[4 * i + 1][0]),
+                   U64(tables[4 * i + 2][0], tables[4 * i + 3][0]))
+                  for i in range(na)]
+            off = 4 * na
+            sb = [(self.fwd_b[i][0], self.fwd_b[i][1],
+                   U64(tables[off + 4 * i][0], tables[off + 4 * i + 1][0]),
+                   U64(tables[off + 4 * i + 2][0],
+                       tables[off + 4 * i + 3][0]))
+                  for i in range(len(self.fwd_b))]
+            x = self._cross_fwd_body(x, q, two_q)
+            x = self._local_fwd_body(x, sa, sb, omf, q, two_q)
+            return x.hi, x.lo
+
+        table_planes = []
+        table_specs = []
+        for m, t, w, wp in self.fwd_a + self.fwd_b:
+            for pln in (w.hi, w.lo, wp.hi, wp.lo):
+                table_planes.append(pln)
+                table_specs.append(P("coeff"))
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(x_spec, x_spec) + tuple(table_specs),
+            out_specs=(x_spec, x_spec),
+        )
+        jitted = jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
+        return jitted
+
+    def _build_inv(self, imf: int, omf: int, ndim: int):
+        mesh = self.mesh
+        x_spec = self._x_spec(ndim)
+
+        def body(x_hi, x_lo, *tables):
+            x = U64(x_hi, x_lo)
+            q = const64(self.q)
+            two_q = const64(2 * self.q)
+            nb = len(self.inv_b)
+            sb = [(self.inv_b[i][0], self.inv_b[i][1],
+                   U64(tables[4 * i][0], tables[4 * i + 1][0]),
+                   U64(tables[4 * i + 2][0], tables[4 * i + 3][0]))
+                  for i in range(nb)]
+            off = 4 * nb
+            sa = [(self.inv_a[i][0], self.inv_a[i][1],
+                   U64(tables[off + 4 * i][0], tables[off + 4 * i + 1][0]),
+                   U64(tables[off + 4 * i + 2][0],
+                       tables[off + 4 * i + 3][0]))
+                  for i in range(len(self.inv_a))]
+            x = self._local_inv_body(x, sb, sa, q, two_q)
+            x = self._cross_inv_body(x, q, two_q)
+            if omf == 1:
+                x = cond_sub64(x, q)
+            return x.hi, x.lo
+
+        table_planes = []
+        table_specs = []
+        for m, t, w, wp in self.inv_b + self.inv_a:
+            for pln in (w.hi, w.lo, wp.hi, wp.lo):
+                table_planes.append(pln)
+                table_specs.append(P("coeff"))
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(x_spec, x_spec) + tuple(table_specs),
+            out_specs=(x_spec, x_spec),
+        )
+        return jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
+
+    def forward(self, x, input_mod_factor: int = 1,
+                output_mod_factor: int = 1):
+        """Sharded forward NTT; x shape (batch..., N) (host numpy or U64)."""
+        host = not isinstance(x, U64)
+        x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
+        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        if key not in self._fwd_cache:
+            self._fwd_cache[key] = self._build_fwd(
+                input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        hi, lo = self._fwd_cache[key](x_l.hi, x_l.lo)
+        out = U64(hi, lo)
+        return from_limbs(out) if host else out
+
+    def inverse(self, x, input_mod_factor: int = 1,
+                output_mod_factor: int = 1):
+        host = not isinstance(x, U64)
+        x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
+        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        if key not in self._inv_cache:
+            self._inv_cache[key] = self._build_inv(
+                input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        hi, lo = self._inv_cache[key](x_l.hi, x_l.lo)
+        out = U64(hi, lo)
+        return from_limbs(out) if host else out

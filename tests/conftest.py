@@ -9,13 +9,17 @@ import os
 
 if os.environ.get("HEXL_TPU_TEST_PLATFORM", "cpu") == "cpu":
     # Force CPU even when the session env points JAX at a TPU tunnel
-    # (e.g. JAX_PLATFORMS=axon) — unit tests must not depend on hardware.
+    # (e.g. a PJRT plugin registered from sitecustomize that overrides
+    # JAX_PLATFORMS) — unit tests must not depend on hardware.
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax  # noqa: E402  (must set config before any test imports jax)
+
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the staged NTT graphs are compile-heavy;
 # cache them across test runs.

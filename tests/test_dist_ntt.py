@@ -1,0 +1,68 @@
+"""Sharded NTT tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from hexl_tpu import nt, ref
+from hexl_tpu.parallel import DistNTT, make_mesh
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+@pytest.mark.parametrize("d_coeff", [2, 4, 8])
+def test_dist_forward_matches_oracle(d_coeff):
+    _require_devices(d_coeff)
+    n = 1 << 14
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    mesh = make_mesh(d_coeff, 1)
+    dntt = DistNTT(n, q, mesh)
+    rng = np.random.default_rng(d_coeff)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    got = dntt.forward(x, 1, 1)
+    exp = ref.fwd_ntt_radix2(x, q, dntt.plan.rop, dntt.plan.prop, 1, 1)
+    np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_dist_roundtrip_and_lazy():
+    _require_devices(4)
+    n = 1 << 14
+    q = nt.generate_primes(1, 60, True, ntt_size=n)[0]
+    mesh = make_mesh(4, 2)
+    dntt = DistNTT(n, q, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    y = dntt.forward(x, 1, 4)
+    exp = ref.fwd_ntt_radix2(x, q, dntt.plan.rop, dntt.plan.prop, 1, 4)
+    np.testing.assert_array_equal(np.asarray(y), exp)
+    back = dntt.inverse(y % np.uint64(q), 1, 1)
+    np.testing.assert_array_equal(np.asarray(back), x)
+    # lazy inverse
+    inv2 = dntt.inverse(y % np.uint64(q), 1, 2)
+    expi = ref.inv_ntt_radix2(y % np.uint64(q), q, dntt.plan.irop,
+                              dntt.plan.pirop, 1, 2)
+    np.testing.assert_array_equal(np.asarray(inv2), expi)
+
+
+def test_dist_poly_mult_pipeline():
+    """Sharded fwd -> pointwise mult -> sharded inv == oracle pipeline."""
+    _require_devices(8)
+    n = 1 << 15
+    q = nt.generate_primes(1, 45, True, ntt_size=n)[0]
+    mesh = make_mesh(8, 1)
+    dntt = DistNTT(n, q, mesh)
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, q, size=n, dtype=np.uint64)
+    b = rng.integers(0, q, size=n, dtype=np.uint64)
+    fa = np.asarray(dntt.forward(a, 1, 1))
+    fb = np.asarray(dntt.forward(b, 1, 1))
+    prod = ref.eltwise_mult_mod(fa, fb, q)
+    c = np.asarray(dntt.inverse(prod, 1, 1))
+    fa_o = ref.fwd_ntt_radix2(a, q, dntt.plan.rop, dntt.plan.prop, 1, 1)
+    fb_o = ref.fwd_ntt_radix2(b, q, dntt.plan.rop, dntt.plan.prop, 1, 1)
+    c_o = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa_o, fb_o, q), q,
+                             dntt.plan.irop, dntt.plan.pirop, 1, 1)
+    np.testing.assert_array_equal(c, c_o)
