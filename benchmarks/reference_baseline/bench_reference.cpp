@@ -1,0 +1,129 @@
+// Measures the reference library's (intel/hexl) headline kernels on the
+// host CPU — the baseline the TPU framework is compared against. This
+// harness is original; it links the unmodified reference sources.
+//
+// Output: one JSON object per config on stdout.
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <random>
+#include <vector>
+
+#include "hexl/hexl.hpp"
+
+using Clock = std::chrono::steady_clock;
+
+static std::vector<uint64_t> random_vec(size_t n, uint64_t bound,
+                                        uint64_t seed) {
+  std::mt19937_64 rng(seed);
+  std::uniform_int_distribution<uint64_t> dist(0, bound - 1);
+  std::vector<uint64_t> v(n);
+  for (auto& x : v) x = dist(rng);
+  return v;
+}
+
+template <typename F>
+static double time_per_call_us(F&& f, int min_iters = 50,
+                               double min_secs = 0.5) {
+  // Warm up
+  f();
+  f();
+  int iters = min_iters;
+  for (;;) {
+    auto t0 = Clock::now();
+    for (int i = 0; i < iters; ++i) f();
+    double secs = std::chrono::duration<double>(Clock::now() - t0).count();
+    if (secs >= min_secs) return secs * 1e6 / iters;
+    iters *= 4;
+  }
+}
+
+int main() {
+  using namespace intel::hexl;
+
+  printf("[\n");
+  bool first = true;
+  auto emit = [&](const char* name, uint64_t n, uint64_t q_bits,
+                  double us_per_call) {
+    if (!first) printf(",\n");
+    first = false;
+    printf("  {\"kernel\": \"%s\", \"n\": %llu, \"q_bits\": %llu, "
+           "\"us_per_call\": %.3f, \"calls_per_sec\": %.1f}",
+           name, (unsigned long long)n, (unsigned long long)q_bits,
+           us_per_call, 1e6 / us_per_call);
+    fflush(stdout);
+  };
+
+  // Fwd+Inv NTT across sizes and modulus widths (IFMA range + DQ range).
+  for (uint64_t log_n : {10, 12, 14, 17}) {
+    uint64_t n = 1ULL << log_n;
+    for (uint64_t q_bits : {49, 60}) {
+      uint64_t q = GeneratePrimes(1, q_bits, true, n)[0];
+      NTT ntt(n, q);
+      auto input = random_vec(n, q, 42);
+      std::vector<uint64_t> buf(input);
+      emit("fwd_ntt", n, q_bits, time_per_call_us([&] {
+             ntt.ComputeForward(buf.data(), buf.data(), 1, 1);
+           }));
+      emit("inv_ntt", n, q_bits, time_per_call_us([&] {
+             ntt.ComputeInverse(buf.data(), buf.data(), 1, 1);
+           }));
+      // Lazy variants (the fastest settings, OMF=4 / OMF=2)
+      emit("fwd_ntt_lazy", n, q_bits, time_per_call_us([&] {
+             ntt.ComputeForward(buf.data(), buf.data(), 2, 4);
+           }));
+      emit("inv_ntt_lazy", n, q_bits, time_per_call_us([&] {
+             ntt.ComputeInverse(buf.data(), buf.data(), 2, 2);
+           }));
+      for (auto& x : buf) x %= q;
+    }
+  }
+
+  // Eltwise ops at the BASELINE.md configs.
+  {
+    uint64_t n = 1ULL << 12;
+    uint64_t q = GeneratePrimes(1, 60, true, n)[0];
+    auto a = random_vec(n, q, 1), b = random_vec(n, q, 2);
+    std::vector<uint64_t> out(n);
+    emit("eltwise_add_mod", n, 60, time_per_call_us([&] {
+           EltwiseAddMod(out.data(), a.data(), b.data(), n, q);
+         }));
+    emit("eltwise_sub_mod", n, 60, time_per_call_us([&] {
+           EltwiseSubMod(out.data(), a.data(), b.data(), n, q);
+         }));
+  }
+  {
+    uint64_t n = 1ULL << 13;
+    for (uint64_t q_bits : {49, 60}) {
+      uint64_t q = GeneratePrimes(1, q_bits, true, n)[0];
+      auto a = random_vec(n, q, 3), b = random_vec(n, q, 4);
+      std::vector<uint64_t> out(n);
+      emit("eltwise_mult_mod", n, q_bits, time_per_call_us([&] {
+             EltwiseMultMod(out.data(), a.data(), b.data(), n, q, 1);
+           }));
+      auto big = random_vec(n, q * 4, 5);
+      emit("eltwise_reduce_mod", n, q_bits, time_per_call_us([&] {
+             EltwiseReduceMod(out.data(), big.data(), n, q, 4, 1);
+           }));
+    }
+  }
+  {
+    uint64_t n = 1ULL << 14;
+    uint64_t q = GeneratePrimes(1, 59, true, n)[0];
+    auto a = random_vec(n, q, 6), c = random_vec(n, q, 7);
+    std::vector<uint64_t> out(n);
+    emit("eltwise_fma_mod", n, 59, time_per_call_us([&] {
+           EltwiseFMAMod(out.data(), a.data(), 12345, c.data(), n, q, 1);
+         }));
+    emit("eltwise_cmp_add", n, 59, time_per_call_us([&] {
+           EltwiseCmpAdd(out.data(), a.data(), n, CMPINT::NLT, q / 2, 42);
+         }));
+    emit("eltwise_cmp_sub_mod", n, 59, time_per_call_us([&] {
+           EltwiseCmpSubMod(out.data(), a.data(), n, q, CMPINT::NLT, q / 2,
+                            42);
+         }));
+  }
+
+  printf("\n]\n");
+  return 0;
+}
