@@ -1,0 +1,83 @@
+"""Headline benchmark: fwd+inv negacyclic NTT pairs/sec at N=2^14, 60-bit q.
+
+Run on the attached accelerator (TPU when available). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference library (intel/hexl) built and
+measured on this container's AVX512-IFMA Xeon
+(benchmarks/reference_baseline/baseline_results.json; single-threaded, as
+the reference is by design — README.md:264).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from hexl_tpu import nt
+    from hexl_tpu.limb import to_limbs
+    from hexl_tpu.ntt import NTT, _jitted_fwd, _jitted_inv
+    from hexl_tpu import config
+
+    n = 1 << 14
+    q_bits = 60
+    batch = 64
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    NTT(n, q)  # build plan
+    use_pallas = config.use_pallas()
+    fwd = _jitted_fwd(n, q, 1, 1, use_pallas)
+    inv = _jitted_inv(n, q, 1, 1, use_pallas)
+
+    rng = np.random.default_rng(0)
+    x = to_limbs(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+
+    def pair(v):
+        return inv(fwd(v))
+
+    # Warm up / compile.
+    out = pair(x)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pair(out)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * iters / dt
+
+    # Reference baseline: single-threaded AVX512-IFMA Xeon, same config.
+    base_file = pathlib.Path(__file__).parent / "benchmarks" \
+        / "reference_baseline" / "baseline_results.json"
+    vs_baseline = None
+    if base_file.exists():
+        rows = json.loads(base_file.read_text())
+        fwd_us = next(r["us_per_call"] for r in rows
+                      if r["kernel"] == "fwd_ntt" and r["n"] == n
+                      and r["q_bits"] == q_bits)
+        inv_us = next(r["us_per_call"] for r in rows
+                      if r["kernel"] == "inv_ntt" and r["n"] == n
+                      and r["q_bits"] == q_bits)
+        ref_pairs_per_sec = 1e6 / (fwd_us + inv_us)
+        vs_baseline = pairs_per_sec / ref_pairs_per_sec
+
+    print(json.dumps({
+        "metric": f"fwd+inv NTT pairs/sec, N=2^14, {q_bits}-bit q, "
+                  f"1 chip ({jax.default_backend()}), batch={batch}",
+        "value": round(pairs_per_sec, 1),
+        "unit": "transform_pairs/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
