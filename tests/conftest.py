@@ -20,6 +20,9 @@ if os.environ.get("HEXL_TPU_TEST_PLATFORM", "cpu") == "cpu":
     import jax  # noqa: E402  (must set config before any test imports jax)
 
     jax.config.update("jax_platforms", "cpu")
+    # float64 for the FFT-like (CKKS encode/decode) tests; the integer
+    # kernels use explicit uint32 dtypes and are unaffected.
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the staged NTT graphs are compile-heavy;
 # cache them across test runs.

@@ -1,0 +1,185 @@
+"""Composite/experimental layer tests vs independent host oracles."""
+
+import numpy as np
+import pytest
+
+from hexl_tpu import nt, ref
+from hexl_tpu.experimental import (FFTLike, dyadic_multiply, key_switch,
+                                   lr_mat_vec_mult)
+
+
+def _moduli(k, bits, n):
+    return nt.generate_primes(k, bits, True, ntt_size=n)
+
+
+def test_dyadic_multiply():
+    n, M = 1024, 3
+    moduli = _moduli(M, 40, n)
+    rng = np.random.default_rng(0)
+    x = np.stack([np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    y = np.stack([np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    out = dyadic_multiply(x, y, moduli)
+    assert out.shape == (3, M, n)
+    for i, q in enumerate(moduli):
+        np.testing.assert_array_equal(
+            out[0, i], ref.eltwise_mult_mod(x[0, i], y[0, i], q))
+        exp_mid = ref.eltwise_add_mod(
+            ref.eltwise_mult_mod(x[0, i], y[1, i], q),
+            ref.eltwise_mult_mod(x[1, i], y[0, i], q), q)
+        np.testing.assert_array_equal(out[1, i], exp_mid)
+        np.testing.assert_array_equal(
+            out[2, i], ref.eltwise_mult_mod(x[1, i], y[1, i], q))
+
+
+def test_lr_mat_vec_mult():
+    n, M, W = 512, 2, 4
+    moduli = _moduli(M, 30, n)
+    rng = np.random.default_rng(1)
+    c1 = np.stack([np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                       for q in moduli])
+                             for _ in range(2)]) for _ in range(W)])
+    c2 = np.stack([np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                       for q in moduli])
+                             for _ in range(2)]) for _ in range(W)])
+    out = lr_mat_vec_mult(c1, c2, moduli)
+    # Oracle: sum over weights of dyadic products.
+    exp = np.zeros((3, M, n), dtype=np.uint64)
+    for i, q in enumerate(moduli):
+        acc = [np.zeros(n, dtype=object) for _ in range(3)]
+        for w in range(W):
+            x0, x1 = c1[w, 0, i].astype(object), c1[w, 1, i].astype(object)
+            y0, y1 = c2[w, 0, i].astype(object), c2[w, 1, i].astype(object)
+            acc[0] = (acc[0] + x0 * y0) % q
+            acc[1] = (acc[1] + x0 * y1 + x1 * y0) % q
+            acc[2] = (acc[2] + x1 * y1) % q
+        for p in range(3):
+            exp[p, i] = acc[p].astype(np.uint64)
+    np.testing.assert_array_equal(out, exp)
+
+
+def _fft_oracle_fwd(x, table):
+    """Textbook per-stage complex transform, same structure as the NTT."""
+    x = np.asarray(x, dtype=np.complex128).copy()
+    n = x.shape[-1]
+    m, gap = 1, n >> 1
+    while m < n:
+        v = x.reshape(m, 2, gap)
+        xs = v[:, 0, :].copy()
+        t = v[:, 1, :] * table[m:2 * m][:, None]
+        v[:, 0, :] = xs + t
+        v[:, 1, :] = xs - t
+        m <<= 1
+        gap >>= 1
+    return x
+
+
+def test_fft_like_matches_oracle_and_roundtrip():
+    n = 64
+    fft = FFTLike(n)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    got = np.asarray(fft.forward(x))
+    exp = _fft_oracle_fwd(x, np.asarray(fft.fwd_table, dtype=np.complex128))
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9)
+    # inverse without scalar omits 1/n
+    back = np.asarray(fft.inverse(got)) / n
+    np.testing.assert_allclose(back, x, rtol=1e-9, atol=1e-9)
+
+
+def test_fft_like_with_scalar_roundtrip():
+    n = 128
+    scalar = 2.0 ** 20
+    fft = FFTLike(n, scalar)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    enc = np.asarray(fft.inverse(x))     # CKKS encode direction
+    dec = np.asarray(fft.forward(enc))   # decode
+    np.testing.assert_allclose(dec, x, rtol=1e-8, atol=1e-8)
+
+
+def _key_switch_oracle(result, t_target, n, ds, kms, rns, kc, moduli, keys,
+                       msf):
+    """Independent big-int host oracle following the published algorithm."""
+    plans = {q: ref.root_of_unity_powers(n, q) for q in set(moduli)}
+
+    def tables(q):
+        rop, irop, _ = plans[q]
+        return rop, ref.precon64(rop, q), irop, ref.precon64(irop, q)
+
+    t_intt = []
+    for j in range(ds):
+        q = moduli[j]
+        rop, prop, irop, pirop = tables(q)
+        t_intt.append(ref.inv_ntt_radix2(t_target[j], q, irop, pirop, 2, 1))
+
+    t_poly_prod = np.zeros((kc, rns, n), dtype=np.uint64)
+    for i in range(rns):
+        key_index = kms - 1 if i == ds else i
+        qk = moduli[key_index]
+        rop, prop, irop, pirop = tables(qk)
+        acc = np.zeros((kc, n), dtype=object)
+        for j in range(ds):
+            if i == j:
+                t_op = t_target[j].astype(object)
+            else:
+                tj = t_intt[j]
+                if moduli[j] > qk:
+                    tj = (tj % np.uint64(qk)).astype(np.uint64)
+                t_op = ref.fwd_ntt_radix2(tj, qk, rop, prop, 4, 4
+                                          ).astype(object)
+            for k in range(kc):
+                acc[k] = acc[k] + t_op * keys[j, k, key_index].astype(object)
+        for k in range(kc):
+            t_poly_prod[k, i] = (acc[k] % qk).astype(np.uint64)
+
+    qk = moduli[kms - 1]
+    qk_half = qk >> 1
+    out = result.astype(object).copy()
+    for k in range(kc):
+        rop, prop, irop, pirop = tables(qk)
+        t_last = ref.inv_ntt_radix2(t_poly_prod[k, ds], qk, irop, pirop,
+                                    2, 2)
+        t_last = ((t_last.astype(object) + qk_half) % qk).astype(np.uint64)
+        for i in range(ds):
+            qi = moduli[i]
+            ri, pi, ii, pii = tables(qi)
+            if qk > qi:
+                t_ntt = (t_last % np.uint64(qi)).astype(np.uint64)
+            else:
+                t_ntt = t_last
+            fix = qi - (qk_half % qi)
+            t_ntt = t_ntt + np.uint64(fix)
+            t_ntt = ref.fwd_ntt_radix2(t_ntt, qi, ri, pi, 4, 4)
+            diff = (t_poly_prod[k, i].astype(object) + 4 * qi
+                    - t_ntt.astype(object))
+            val = (diff * msf[i]) % qi
+            out[k, i] = (out[k, i] + val) % qi
+    return out.astype(np.uint64)
+
+
+def test_key_switch():
+    n, ds, kc = 64, 2, 2
+    kms = ds + 1
+    rns = ds + 1
+    moduli = _moduli(kms, 40, n)
+    rng = np.random.default_rng(4)
+    qk = moduli[-1]
+    t_target = np.stack([rng.integers(0, q, n, np.uint64)
+                         for q in moduli[:ds]])
+    keys = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                        dtype=np.uint64)
+    for j in range(ds):
+        for k in range(kc):
+            for m_i, q in enumerate(moduli):
+                keys[j, k, m_i] %= np.uint64(q)
+    msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+    result = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                 for q in moduli[:ds]])
+                       for _ in range(kc)])
+    got = key_switch(result, t_target, n, ds, kms, rns, kc, moduli, keys,
+                     msf)
+    exp = _key_switch_oracle(result, t_target, n, ds, kms, rns, kc,
+                             moduli, keys, msf)
+    np.testing.assert_array_equal(got, exp)
