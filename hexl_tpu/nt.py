@@ -76,6 +76,11 @@ def sub_uint_mod(x: int, y: int, modulus: int) -> int:
 
 def is_prime(n: int) -> bool:
     """Deterministic Miller-Rabin for n < 2^64 (ref number-theory.cpp:166)."""
+    if 2 <= n < (1 << 64):
+        from . import native
+        got = native.is_prime(n)
+        if got is not None:
+            return got
     if n < 2:
         return False
     for a in _MR_WITNESSES:
@@ -120,6 +125,12 @@ def generate_primes(
         raise ValueError("ntt_size must be a power of two")
     if log2_exact(ntt_size) >= bit_size:
         raise ValueError("log2(ntt_size) must be < bit_size")
+
+    from . import native
+    fast = native.generate_primes(num_primes, bit_size, prefer_small_primes,
+                                  ntt_size)
+    if fast is not None:
+        return fast
 
     lower = (1 << bit_size) + 1
     upper = (1 << (bit_size + 1)) - 1
@@ -175,6 +186,10 @@ def minimal_primitive_root(degree: int, modulus: int) -> int:
     (ref number-theory.cpp:128-148); scan them and take the minimum so the
     result is deterministic and matches the reference's choice.
     """
+    from . import native
+    fast = native.minimal_primitive_root(degree, modulus)
+    if fast is not None:
+        return fast
     root = generate_primitive_root(degree, modulus)
     root_sq = (root * root) % modulus
     current = root

@@ -128,13 +128,22 @@ class NttPlan:
         self.q = modulus
         self.log_n = nt.log2_exact(degree)
 
-        rop, irop, w = ref.root_of_unity_powers(degree, modulus, root)
-        self.root = w
-        self.root_inv = nt.inverse_mod(w, modulus)
+        from .. import native
+        if root is None:
+            root = nt.minimal_primitive_root(2 * degree, modulus)
+        tables = native.root_tables(degree, modulus, root)
+        if tables is not None:
+            rop, irop, prop, pirop = tables
+        else:
+            rop, irop, _ = ref.root_of_unity_powers(degree, modulus, root)
+            prop = ref.precon64(rop, modulus)
+            pirop = ref.precon64(irop, modulus)
+        self.root = root
+        self.root_inv = nt.inverse_mod(root, modulus)
         self.rop = rop                      # host numpy uint64
         self.irop = irop
-        self.prop = ref.precon64(rop, modulus)
-        self.pirop = ref.precon64(irop, modulus)
+        self.prop = prop
+        self.pirop = pirop
 
         # Final-inverse-stage constants (N^{-1} folded into last butterfly).
         self.inv_n = nt.inverse_mod(degree, modulus)

@@ -256,12 +256,15 @@ def root_of_unity_powers(n: int, modulus: int, root: int | None = None):
     bits = nt.log2_exact(n)
     rop = np.zeros(n, dtype=np.uint64)
     irop_raw = np.zeros(n, dtype=np.uint64)
+    root_inv = nt.inverse_mod(root, modulus)
     power = 1
+    inv_power = 1  # (w^i)^{-1} == (w^{-1})^i — one inversion total
     for i in range(n):
         idx = nt.reverse_bits(i, bits)
         rop[idx] = power
-        irop_raw[idx] = nt.inverse_mod(power, modulus) if power != 1 else 1
+        irop_raw[idx] = inv_power
         power = (power * root) % modulus
+        inv_power = (inv_power * root_inv) % modulus
     # Stage-major reorder of the inverse table.
     irop = np.zeros(n, dtype=np.uint64)
     irop[0] = irop_raw[0]
