@@ -20,6 +20,8 @@ import numpy as np
 
 from .. import config
 from ..limb import U64, from_limbs, to_limbs
+from ..utils import check as _chk
+from ..utils.logging import vlog
 from . import jnp_kernels as K
 from . import pallas_kernels as P
 
@@ -99,6 +101,12 @@ def _result(out: U64, was_host: bool):
 
 def eltwise_add_mod(a, b, modulus: int):
     """result[i] = (a[i] + b[i]) mod q; b may be a scalar. Inputs < q."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1, "modulus must be > 1")
+        _chk.check_bounds(a, modulus, "eltwise_add_mod operand1")
+        if not (np.isscalar(b) or isinstance(b, int)):
+            _chk.check_bounds(b, modulus, "eltwise_add_mod operand2")
+    vlog(3, "eltwise_add_mod q=%d", modulus)
     a_l, host = _coerce(a)
     if np.isscalar(b) or isinstance(b, int):
         return _result(_jitted("add_mod_vs", modulus, int(b))(a_l), host)
@@ -117,6 +125,16 @@ def eltwise_sub_mod(a, b, modulus: int):
 
 def eltwise_mult_mod(a, b, modulus: int, input_mod_factor: int = 1):
     """result[i] = (a[i] * b[i]) mod q; inputs < IMF*q, IMF in {1,2,4}."""
+    if _chk.debug_enabled():
+        _chk.check(input_mod_factor in (1, 2, 4),
+                   "input_mod_factor must be 1, 2 or 4")
+        _chk.check(input_mod_factor * modulus < (1 << 63),
+                   "input_mod_factor * modulus must be < 2^63")
+        _chk.check_bounds(a, input_mod_factor * modulus,
+                          "eltwise_mult_mod operand1")
+        _chk.check_bounds(b, input_mod_factor * modulus,
+                          "eltwise_mult_mod operand2")
+    vlog(3, "eltwise_mult_mod q=%d imf=%d", modulus, input_mod_factor)
     a_l, host = _coerce(a)
     b_l, _ = _coerce(b)
     return _result(

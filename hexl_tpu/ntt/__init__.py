@@ -61,6 +61,11 @@ class NTT:
         return self.plan.root
 
     def _dispatch(self, x, fwd: bool, imf: int, omf: int):
+        from ..utils import check as _chk
+        if _chk.debug_enabled():
+            _chk.check_bounds(
+                x, imf * self.modulus,
+                f"{'forward' if fwd else 'inverse'} NTT input")
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
         use_pallas = config.use_pallas() and self.plan.rows is not None
