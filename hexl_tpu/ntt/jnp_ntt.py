@@ -49,25 +49,30 @@ def _inv_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
 
 
 def _split2(x: U64, axis: int, m: int, t: int) -> tuple:
-    """View (..., m*2*t edge dims...) — reshape a single axis into (m, 2, t)
-    and return the X/Y halves plus a closure to reassemble."""
+    """Reshape one axis of size m*2t into (m, 2t) and return the X half
+    (first t) and Y half (last t) of each block, plus a reassembly closure.
+
+    The join uses slice+concatenate rather than stack: on Mosaic the
+    concat of two halves along an existing sublane axis compiles to cheap
+    copies, where a stack along a new axis forces an expensive relayout
+    (~2x whole-kernel cost for ascending-stride stage orders, measured on
+    v5e)."""
     def reshape_plane(p):
         shape = p.shape
-        return p.reshape(shape[:axis] + (m, 2, t) + shape[axis + 1:])
+        return p.reshape(shape[:axis] + (m, 2 * t) + shape[axis + 1:])
     hi = reshape_plane(x.hi)
     lo = reshape_plane(x.lo)
-    # X/Y halves along the inserted axis+1
     sl_x = [slice(None)] * hi.ndim
     sl_y = [slice(None)] * hi.ndim
-    sl_x[axis + 1] = 0
-    sl_y[axis + 1] = 1
+    sl_x[axis + 1] = slice(0, t)
+    sl_y[axis + 1] = slice(t, 2 * t)
     xs = U64(hi[tuple(sl_x)], lo[tuple(sl_x)])
     ys = U64(hi[tuple(sl_y)], lo[tuple(sl_y)])
 
     def reassemble(new_x: U64, new_y: U64) -> U64:
-        h = jnp.stack([new_x.hi, new_y.hi], axis=axis + 1)
-        l = jnp.stack([new_x.lo, new_y.lo], axis=axis + 1)
-        orig = h.shape[:axis] + (m * 2 * t,) + h.shape[axis + 3:]
+        h = jnp.concatenate([new_x.hi, new_y.hi], axis=axis + 1)
+        l = jnp.concatenate([new_x.lo, new_y.lo], axis=axis + 1)
+        orig = h.shape[:axis] + (m * 2 * t,) + h.shape[axis + 2:]
         return U64(h.reshape(orig), l.reshape(orig))
 
     return xs, ys, reassemble
