@@ -30,18 +30,22 @@ def main():
 
     n = 1 << 14
     q_bits = 60
-    batch = 64
+    batch = 128
     q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
-    NTT(n, q)  # build plan
+    ntt = NTT(n, q)  # build plan
     use_pallas = config.use_pallas()
-    fwd = _jitted_fwd(n, q, 1, 1, use_pallas)
-    inv = _jitted_inv(n, q, 1, 1, use_pallas)
+
+    plan = ntt.plan
+    if use_pallas:
+        from hexl_tpu.ntt import pallas_ntt as impl
+    else:
+        from hexl_tpu.ntt import jnp_ntt as impl
+    import jax as _jax
+    pair = _jax.jit(lambda v: impl.inv_ntt(impl.fwd_ntt(v, plan, 1, 1),
+                                           plan, 1, 1))
 
     rng = np.random.default_rng(0)
     x = to_limbs(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
-
-    def pair(v):
-        return inv(fwd(v))
 
     # Warm up / compile.
     out = pair(x)
