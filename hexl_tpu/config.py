@@ -40,6 +40,12 @@ def default_backend() -> str:
         return "cpu"
 
 
+def approx_mulhi_disabled() -> bool:
+    """Kill switch for the approximate-mulhi Shoup butterflies in the
+    Pallas kernels (exact lazy values for debugging/bit-audits)."""
+    return _env_flag("HEXL_TPU_DISABLE_APPROX")
+
+
 def use_pallas() -> bool:
     """Pallas kernels run on TPU; interpret-mode elsewhere is opt-in only."""
     if pallas_disabled():

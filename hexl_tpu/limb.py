@@ -235,6 +235,41 @@ def mulhi64(x: U64, y: U64) -> U64:
     return mul64_wide(x, y).hi
 
 
+def mulhi64_approx(x: U64, y: U64) -> U64:
+    """High 64 bits of x*y, possibly 1 too small (error <= 1).
+
+    Drops the lo*lo partial product (whose only effect on the high half is
+    a carry of at most 1), saving 4 of the 16 lane multiplies. The caller
+    must absorb the +q slack this injects into a Shoup product — see
+    shoup_mul_lazy_approx. (Same trick as the reference's
+    _mm512_hexl_mulhi_approx_epi, avx512-util.hpp:153-185.)
+    """
+    p01h, p01l = umul32_wide(x.lo, y.hi)
+    p10h, p10l = umul32_wide(x.hi, y.lo)
+    p11h, p11l = umul32_wide(x.hi, y.hi)
+    c32, k12 = add32_carry(p01l, p10l)
+    del c32  # only its carry feeds the high half
+    c64a, k3 = add32_carry(p01h, p10h)
+    c64b, k4 = add32_carry(c64a, p11l)
+    c64, k5 = add32_carry(c64b, k12)
+    c96 = p11h + k3 + k4 + k5
+    return U64(c96, c64)
+
+
+def shoup_mul_lazy_approx(x: U64, w: U64, w_precon: U64, modulus: int,
+                          two_q: U64) -> U64:
+    """Shoup multiply via approximate mulhi; output in [0, 2q).
+
+    q_hat may be 1 too small, putting the raw result in [0, 3q); one
+    conditional subtract of 2q restores the lazy range. Values agree with
+    the exact form mod q but not bit-for-bit in the lazy range (matching
+    the reference's AVX512-64 path semantics)."""
+    q_hat = mulhi64_approx(x, w_precon)
+    q = const64(modulus)
+    r = sub64(mullo64(x, w), mullo64(q_hat, q))
+    return cond_sub64(r, two_q)
+
+
 def add128(x: U128, y: U128) -> U128:
     """(x + y) mod 2^128 — for lazy key-switch accumulation."""
     lo_lo, c0 = add32_carry(x.lo.lo, y.lo.lo)

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..limb import (U64, add64, cond_sub64, const64, mullo64, mulhi64,
-                    reduce_mod_lazy64, sub64)
+                    mulhi64_approx, reduce_mod_lazy64, sub64)
 from .plan import LANES, MIN_2D_N, NttPlan
 
 
@@ -32,6 +32,16 @@ def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
     """Lazy Shoup multiply with broadcastable twiddles; output in [0, 2q)."""
     q_hat = mulhi64(x, wp)
     return sub64(mullo64(x, w), mullo64(q_hat, q))
+
+
+def _shoup_approx(x: U64, w: U64, wp: U64, q: U64, two_q: U64) -> U64:
+    """Shoup multiply with approximate mulhi (4 fewer lane multiplies);
+    the <=1 quotient error leaves [0,3q), corrected to [0,2q) by one
+    conditional subtract. Agrees with _shoup mod q, not bit-for-bit in
+    the lazy range (the reference's AVX512-64 semantics)."""
+    q_hat = mulhi64_approx(x, wp)
+    r = sub64(mullo64(x, w), mullo64(q_hat, q))
+    return cond_sub64(r, two_q)
 
 
 def _fwd_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
@@ -46,6 +56,22 @@ def _inv_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
     tx = cond_sub64(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
     return tx, _shoup(ty, w, wp, q)
+
+
+def _fwd_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                          two_q: U64):
+    """Forward butterfly using the approximate Shoup multiply."""
+    tx = cond_sub64(xs, two_q)
+    t = _shoup_approx(ys, w, wp, q, two_q)
+    return add64(tx, t), sub64(add64(tx, two_q), t)
+
+
+def _inv_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                          two_q: U64):
+    """Inverse butterfly using the approximate Shoup multiply."""
+    tx = cond_sub64(add64(xs, ys), two_q)
+    ty = sub64(add64(xs, two_q), ys)
+    return tx, _shoup_approx(ty, w, wp, q, two_q)
 
 
 def _split2(x: U64, axis: int, m: int, t: int) -> tuple:

@@ -26,11 +26,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
 from ..limb import U64, cond_sub64, const64, reduce_mod_lazy64
 from . import jnp_ntt
-from .jnp_ntt import (_final_inv_stage, _fwd_butterfly, _inv_butterfly,
-                      _split2, _transpose_tiles, _untranspose_tiles)
+from .jnp_ntt import (_final_inv_stage, _fwd_butterfly,
+                      _fwd_butterfly_approx, _inv_butterfly,
+                      _inv_butterfly_approx, _split2, _transpose_tiles,
+                      _untranspose_tiles)
 from .plan import LANES, NttPlan
+
+
+def _butterflies():
+    """Pallas kernels default to approximate-mulhi Shoup butterflies
+    (values agree mod q; lazy outputs within range but not bit-equal to
+    the exact form — the reference AVX512-64 semantics). Kill switch:
+    HEXL_TPU_DISABLE_APPROX."""
+    if config.approx_mulhi_disabled():
+        return _fwd_butterfly, _inv_butterfly
+    return _fwd_butterfly_approx, _inv_butterfly_approx
 
 
 def _stage_planes(stages) -> List[jnp.ndarray]:
@@ -65,19 +78,20 @@ def _bcast_b(w: U64) -> U64:
 
 
 def _fwd_body(x: U64, plan: NttPlan, fwd_a, fwd_b, omf: int) -> U64:
+    fwd_bfly, _ = _butterflies()
     q = const64(plan.q)
     two_q = const64(2 * plan.q)
     row_axis = x.lo.ndim - 2
     for m, t, w, wp in fwd_a:
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = _fwd_butterfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        nx, ny = fwd_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
         x = join(nx, ny)
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
     c_axis = x.lo.ndim - 2
     for m, t, w, wp in fwd_b:
         nb = LANES // (2 * t)
         xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = _fwd_butterfly(xs, ys, _bcast_b(w), _bcast_b(wp), q, two_q)
+        nx, ny = fwd_bfly(xs, ys, _bcast_b(w), _bcast_b(wp), q, two_q)
         x = join(nx, ny)
     x = _untranspose_tiles(x, plan.rows)
     if omf == 1:
@@ -86,6 +100,7 @@ def _fwd_body(x: U64, plan: NttPlan, fwd_a, fwd_b, omf: int) -> U64:
 
 
 def _inv_body(x: U64, plan: NttPlan, inv_b, inv_a, omf: int) -> U64:
+    _, inv_bfly = _butterflies()
     q = const64(plan.q)
     two_q = const64(2 * plan.q)
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
@@ -93,13 +108,13 @@ def _inv_body(x: U64, plan: NttPlan, inv_b, inv_a, omf: int) -> U64:
     for m, t, w, wp in inv_b:
         nb = LANES // (2 * t)
         xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = _inv_butterfly(xs, ys, _bcast_b(w), _bcast_b(wp), q, two_q)
+        nx, ny = inv_bfly(xs, ys, _bcast_b(w), _bcast_b(wp), q, two_q)
         x = join(nx, ny)
     x = _untranspose_tiles(x, plan.rows)
     row_axis = x.lo.ndim - 2
     for m, t, w, wp in inv_a:
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = _inv_butterfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        nx, ny = inv_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
         x = join(nx, ny)
     half = plan.rows // 2
     sl_x = (Ellipsis, slice(0, half), slice(None))

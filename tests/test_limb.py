@@ -166,3 +166,26 @@ def test_montgomery_reduce():
     R_inv = nt.inverse_mod(1 << r, q)
     exp = (a.astype(object) * b.astype(object) * R_inv % q).astype(np.uint64)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_mulhi64_approx_error_le_1():
+    a, b = _pairs(20, 500)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    exact = limb.from_limbs(limb.mulhi64(la, lb)).astype(object)
+    approx = limb.from_limbs(limb.mulhi64_approx(la, lb)).astype(object)
+    diff = exact - approx
+    assert np.all((diff == 0) | (diff == 1))
+
+
+def test_shoup_mul_lazy_approx():
+    q = nt.generate_primes(1, 60, True)[0]
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 4 * q, size=500, dtype=np.uint64)
+    w = int(rng.integers(0, q))
+    wp = nt.barrett_factor(w, 64, q)
+    got = limb.from_limbs(limb.shoup_mul_lazy_approx(
+        limb.to_limbs(x), limb.const64(w), limb.const64(wp), q,
+        limb.const64(2 * q)))
+    assert np.all(got < np.uint64(2 * q))
+    np.testing.assert_array_equal(
+        got % np.uint64(q), (x.astype(object) * w % q).astype(np.uint64))
