@@ -51,10 +51,10 @@ def main():
     out = pair(x)
     jax.block_until_ready(out)
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pair(out)
+        out = pair(x)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
