@@ -29,9 +29,19 @@ __all__ = ["NTT", "NttPlan", "get_plan", "clear_plan_cache",
            "check_arguments"]
 
 
+def _use_32bit(plan) -> bool:
+    return plan.rows is not None and getattr(plan, "bit_shift", 64) == 32
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
     plan = get_plan(n, q)
+    if _use_32bit(plan):
+        from . import ntt32
+        import jax.numpy as jnp
+        fn32 = ntt32.fwd_ntt32_pallas if use_pallas else ntt32.fwd_ntt32
+        return jax.jit(lambda x: U64(
+            jnp.zeros_like(x.lo), fn32(x.lo, plan, imf, omf)))
     if use_pallas:
         from . import pallas_ntt
         return jax.jit(lambda x: pallas_ntt.fwd_ntt(x, plan, imf, omf))
@@ -41,6 +51,12 @@ def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
 @functools.lru_cache(maxsize=None)
 def _jitted_inv(n: int, q: int, imf: int, omf: int, use_pallas: bool):
     plan = get_plan(n, q)
+    if _use_32bit(plan):
+        from . import ntt32
+        import jax.numpy as jnp
+        fn32 = ntt32.inv_ntt32_pallas if use_pallas else ntt32.inv_ntt32
+        return jax.jit(lambda x: U64(
+            jnp.zeros_like(x.lo), fn32(x.lo, plan, imf, omf)))
     if use_pallas:
         from . import pallas_ntt
         return jax.jit(lambda x: pallas_ntt.inv_ntt(x, plan, imf, omf))

@@ -66,7 +66,7 @@ def phase_b_table(table: np.ndarray, base: int, t: int, tiles: int,
 def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
                       irop: np.ndarray, pirop: np.ndarray,
                       tiles: int, lane_l: int, base_offset: int = 0,
-                      local_n: int | None = None):
+                      local_n: int | None = None, pack=None):
     """Build (fwd_a, fwd_b, inv_b, inv_a) stage-table lists for a length-
     `local_n` staged transform whose block twiddles start at `base_offset`
     within each stage's global table segment.
@@ -78,6 +78,8 @@ def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
     """
     if local_n is None:
         local_n = n
+    if pack is None:
+        pack = to_limbs
     fwd_a, fwd_b, inv_b, inv_a = [], [], [], []
     # Forward: strides descend local_n/2 .. 1; global stage has m_g = n/(2t)
     # blocks starting at table index m_g; this shard covers blocks
@@ -89,11 +91,11 @@ def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
         base = m_g + base_offset // (2 * t)
         if t >= LANES:
             w, wp = rop[base:base + m_local], prop[base:base + m_local]
-            fwd_a.append((m_local, t, to_limbs(w), to_limbs(wp)))
+            fwd_a.append((m_local, t, pack(w), pack(wp)))
         else:
             w = phase_b_table(rop, base, t, tiles, lane_l)
             wp = phase_b_table(prop, base, t, tiles, lane_l)
-            fwd_b.append((m_local, t, to_limbs(w), to_limbs(wp)))
+            fwd_b.append((m_local, t, pack(w), pack(wp)))
         t //= 2
     # Inverse: stage-major irop walked by ascending stride; global root
     # index for the stage at stride t is 1 + sum_{s<t} n/(2s) = n/(2t)·...
@@ -109,11 +111,11 @@ def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
         if t < LANES:
             w = phase_b_table(irop, base, t, tiles, lane_l)
             wp = phase_b_table(pirop, base, t, tiles, lane_l)
-            inv_b.append((m_local, t, to_limbs(w), to_limbs(wp)))
+            inv_b.append((m_local, t, pack(w), pack(wp)))
         else:
             w = irop[base:base + m_local]
             wp = pirop[base:base + m_local]
-            inv_a.append((m_local, t, to_limbs(w), to_limbs(wp)))
+            inv_a.append((m_local, t, pack(w), pack(wp)))
         root_index += m_g
         t *= 2
     return fwd_a, fwd_b, inv_b, inv_a
@@ -172,6 +174,27 @@ class NttPlan:
         self.fwd_a, self.fwd_b, self.inv_b, self.inv_a = build_stage_lists(
             self.n, self.rop, self.prop, self.irop, self.pirop,
             self.tiles, self.lane_l)
+        # Single-limb fast path for q < 2^30 (the reference's AVX512-DQ
+        # 32-bit regime, README.md:202-204): all values < 4q < 2^32 fit one
+        # uint32 plane; twiddles preconditioned at bit-shift 32.
+        self.bit_shift = 32 if self.q < (1 << 30) else 64
+        if self.bit_shift == 32:
+            import jax.numpy as jnp
+            q = self.q
+
+            def precon32(tab):
+                return np.array([(int(v) << 32) // q for v in tab],
+                                dtype=np.uint64)
+
+            def pack32(a):
+                return jnp.asarray(a.astype(np.uint32))
+
+            (self.fwd_a32, self.fwd_b32, self.inv_b32,
+             self.inv_a32) = build_stage_lists(
+                self.n, self.rop, precon32(self.rop), self.irop,
+                precon32(self.irop), self.tiles, self.lane_l, pack=pack32)
+            self.inv_n_precon32 = (self.inv_n << 32) // q
+            self.inv_n_w_precon32 = (self.inv_n_w << 32) // q
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,31 @@ def test_poly_mult_pipeline():
     c_o = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa_o, fb_o, q), q,
                              ntt.plan.irop, ntt.plan.pirop, 1, 1)
     np.testing.assert_array_equal(c, c_o)
+
+
+@pytest.mark.parametrize("q_bits", [20, 27, 29])
+def test_32bit_fast_path(q_bits):
+    """q < 2^30 engages the single-limb path: OMF=1 bit-exact, lazy
+    outputs mod-q-equal within range (the DQ-32 testing contract)."""
+    n = 4096
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    assert q < (1 << 30)
+    ntt = NTT(n, q)
+    assert ntt.plan.bit_shift == 32
+    rng = np.random.default_rng(q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    exp = ref.fwd_ntt_radix2(x, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    got = ntt.forward(x, 1, 1)
+    np.testing.assert_array_equal(got, exp)
+    lazy = ntt.forward(x, 2, 4)
+    assert np.all(lazy < np.uint64(4 * q))
+    np.testing.assert_array_equal(lazy % np.uint64(q), exp)
+    back = ntt.inverse(got, 1, 1)
+    np.testing.assert_array_equal(back, x)
+    back2 = ntt.inverse(got, 2, 2)
+    assert np.all(back2 < np.uint64(2 * q))
+    np.testing.assert_array_equal(back2 % np.uint64(q), x)
+    # batched
+    xb = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    np.testing.assert_array_equal(
+        ntt.inverse(ntt.forward(xb, 1, 1), 1, 1), xb)
