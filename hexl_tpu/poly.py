@@ -1,0 +1,122 @@
+"""Fused polynomial pipelines — the framework's flagship composite ops.
+
+poly_mult_mod: negacyclic polynomial product c = a*b mod (X^N+1, q) as ONE
+fused kernel per batch element: both forward NTTs, the pointwise Barrett
+multiply, and the inverse NTT run back-to-back in VMEM (the XLA path runs
+the same chain in one jit). This is the pipeline the reference composes
+from separate kernel calls (fwd NTT -> EltwiseMultMod -> inv NTT); fusing
+removes four HBM round-trips of intermediates and all intermediate
+dispatches.
+
+rns_poly_mult_mod: the same pipeline over an RNS basis (one call per prime,
+batched along the leading axis per prime since q is compile-time static).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import config
+from .eltwise import jnp_kernels as K
+from .limb import U64, from_limbs, to_limbs
+from .ntt import get_plan, jnp_ntt
+from .ntt.pallas_ntt import (_butterflies, _fwd_body, _inv_body,
+                             _load_stages, _stage_planes)
+from .ntt.plan import LANES
+
+
+def _poly_mult_pallas(a: U64, b: U64, plan) -> U64:
+    """One fused kernel: fwd(a), fwd(b), mult-mod, inv — all in VMEM."""
+    shape = a.lo.shape
+    rows = plan.rows
+    batch = 1
+    for d in shape[:-1]:
+        batch *= d
+    a3 = U64(a.hi.reshape(batch, rows, LANES),
+             a.lo.reshape(batch, rows, LANES))
+    b3 = U64(b.hi.reshape(batch, rows, LANES),
+             b.lo.reshape(batch, rows, LANES))
+
+    stage_groups = (plan.fwd_a, plan.fwd_b, plan.inv_b, plan.inv_a)
+    tw_planes = []
+    for g in stage_groups:
+        tw_planes += _stage_planes(g)
+
+    def kernel(*refs):
+        av = U64(refs[0][...], refs[1][...])
+        bv = U64(refs[2][...], refs[3][...])
+        i = 4
+        loaded = []
+        for g in stage_groups:
+            s, i = _load_stages(g, refs, i)
+            loaded.append(s)
+        fwd_a, fwd_b, inv_b, inv_a = loaded
+        fa = _fwd_body(av, plan, fwd_a, fwd_b, 4)     # lazy [0,4q)
+        fb = _fwd_body(bv, plan, fwd_a, fwd_b, 4)
+        prod = K.mult_mod(fa, fb, plan.q, 4)          # [0, q)
+        out = _inv_body(prod, plan, inv_b, inv_a, 1)
+        refs[i][...] = out.hi
+        refs[i + 1][...] = out.lo
+
+    x_spec = pl.BlockSpec((1, rows, LANES), lambda bb: (bb, 0, 0),
+                          memory_space=pltpu.VMEM)
+    tw_specs = [pl.BlockSpec(p.shape, (lambda *_, nd=p.ndim: (0,) * nd),
+                             memory_space=pltpu.VMEM) for p in tw_planes]
+    out_hi, out_lo = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[x_spec] * 4 + tw_specs,
+        out_specs=(x_spec, x_spec),
+        out_shape=(jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32)),
+    )(a3.hi, a3.lo, b3.hi, b3.lo, *tw_planes)
+    return U64(out_hi.reshape(shape), out_lo.reshape(shape))
+
+
+def _poly_mult_xla(a: U64, b: U64, plan) -> U64:
+    fa = jnp_ntt.fwd_ntt(a, plan, 1, 4)
+    fb = jnp_ntt.fwd_ntt(b, plan, 1, 4)
+    prod = K.mult_mod(fa, fb, plan.q, 4)
+    return jnp_ntt.inv_ntt(prod, plan, 1, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_poly_mult(n: int, q: int, use_pallas: bool):
+    plan = get_plan(n, q)
+    if use_pallas and plan.rows is not None:
+        return jax.jit(lambda a, b: _poly_mult_pallas(a, b, plan))
+    return jax.jit(lambda a, b: _poly_mult_xla(a, b, plan))
+
+
+def poly_mult_mod(a, b, degree: int, modulus: int):
+    """c = a * b over Z_q[X]/(X^N + 1); inputs (..., N) in [0, q)."""
+    host = not isinstance(a, U64)
+    a_l = to_limbs(np.asarray(a, dtype=np.uint64)) if host else a
+    b_l = to_limbs(np.asarray(b, dtype=np.uint64)) if host else b
+    fn = _jitted_poly_mult(degree, modulus, config.use_pallas())
+    out = fn(a_l, b_l)
+    return from_limbs(out) if host else out
+
+
+def rns_poly_mult_mod(a, b, degree: int, moduli):
+    """Per-prime negacyclic products: a, b shaped (num_primes, ..., N) with
+    residues along the leading axis; returns the same shape."""
+    moduli = [int(q) for q in moduli]
+    host = not isinstance(a, U64)
+    a_np = np.asarray(a, dtype=np.uint64) if host else a
+    b_np = np.asarray(b, dtype=np.uint64) if host else b
+    outs = []
+    for i, q in enumerate(moduli):
+        ai = a_np[i] if host else U64(a.hi[i], a.lo[i])
+        bi = b_np[i] if host else U64(b.hi[i], b.lo[i])
+        outs.append(poly_mult_mod(ai, bi, degree, q))
+    if host:
+        return np.stack(outs)
+    return U64(jnp.stack([o.hi for o in outs]),
+               jnp.stack([o.lo for o in outs]))

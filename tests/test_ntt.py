@@ -154,3 +154,31 @@ def test_32bit_fast_path(q_bits):
     xb = rng.integers(0, q, size=(3, n), dtype=np.uint64)
     np.testing.assert_array_equal(
         ntt.inverse(ntt.forward(xb, 1, 1), 1, 1), xb)
+
+
+def test_fused_poly_mult_mod():
+    from hexl_tpu.poly import poly_mult_mod, rns_poly_mult_mod
+    n = 2048
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, q, size=n, dtype=np.uint64)
+    b = rng.integers(0, q, size=n, dtype=np.uint64)
+    got = poly_mult_mod(a, b, n, q)
+    ntt = NTT(n, q)
+    fa = ref.fwd_ntt_radix2(a, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    fb = ref.fwd_ntt_radix2(b, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, q), q,
+                             ntt.plan.irop, ntt.plan.pirop, 1, 1)
+    np.testing.assert_array_equal(got, exp)
+    # RNS variant over 3 primes, batched
+    primes = nt.generate_primes(3, 45, True, ntt_size=n)
+    ar = np.stack([a % np.uint64(p) for p in primes])
+    br = np.stack([b % np.uint64(p) for p in primes])
+    got_rns = rns_poly_mult_mod(ar, br, n, primes)
+    for i, p in enumerate(primes):
+        pn = NTT(n, p)
+        fa = ref.fwd_ntt_radix2(ar[i], p, pn.plan.rop, pn.plan.prop, 1, 1)
+        fb = ref.fwd_ntt_radix2(br[i], p, pn.plan.rop, pn.plan.prop, 1, 1)
+        exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, p), p,
+                                 pn.plan.irop, pn.plan.pirop, 1, 1)
+        np.testing.assert_array_equal(got_rns[i], exp)
