@@ -380,6 +380,156 @@ def inv_ntt_radix2(operand, modulus: int, irop: np.ndarray,
     return out
 
 
+def fwd_ntt_radix4(operand, modulus: int, rop: np.ndarray,
+                   precon_rop: np.ndarray, input_mod_factor: int = 1,
+                   output_mod_factor: int = 1) -> np.ndarray:
+    """Forward NTT via radix-4 decomposition (two fused radix-2 levels).
+
+    Mirrors ForwardTransformToBitReverseRadix4 (reference:
+    hexl/ntt/ntt-radix-4.cpp:17-..., butterfly ntt-default.hpp:63-95): a
+    radix-2 pre-step when log2(N) is odd, then radix-4 passes whose 4-point
+    butterfly applies level-1 twiddle W1 to the (X0,X2)/(X1,X3) pairs and
+    level-2 twiddles W2, W3 to (X0,X1)/(X2,X3). The butterfly math is the
+    same Harvey lazy form as radix-2, so outputs are bit-identical to
+    fwd_ntt_radix2 including lazy [0,4q) ranges.
+    """
+    x = _as_u64(operand).copy()
+    n = x.shape[-1]
+    if input_mod_factor not in (1, 2, 4):
+        raise ValueError("input_mod_factor must be 1, 2, or 4")
+    if output_mod_factor not in (1, 4):
+        raise ValueError("output_mod_factor must be 1 or 4")
+    q = _U64(modulus)
+    two_q = _U64(2 * modulus)
+
+    def bfly(xs, ys, w, wp):
+        tx = np.where(xs >= two_q, xs - two_q, xs)
+        q_hat = mulhi64(ys, wp)
+        tt = ys * w - q_hat * q
+        return tx + tt, tx + two_q - tt
+
+    m = 1
+    with _errstate():
+        if nt.log2_exact(n) % 2 == 1:
+            # Radix-2 pre-step (ntt-radix-4.cpp:50-72).
+            t = n >> 1
+            v = x.reshape(*x.shape[:-1], 1, 2, t)
+            nx, ny = bfly(v[..., 0, :], v[..., 1, :],
+                          rop[1:2, None], precon_rop[1:2, None])
+            v[..., 0, :] = nx
+            v[..., 1, :] = ny
+            m = 2
+        while m < n:
+            t = n // (4 * m)
+            # View as (m blocks) x (4, t): quarters X0..X3 of each block.
+            v = x.reshape(*x.shape[:-1], m, 4, t)
+            w1 = rop[m:2 * m, None]
+            wp1 = precon_rop[m:2 * m, None]
+            # Level 1 (stride 2t): (X0, X2) and (X1, X3) with W1.
+            a0, a2 = bfly(v[..., 0, :], v[..., 2, :], w1, wp1)
+            a1, a3 = bfly(v[..., 1, :], v[..., 3, :], w1, wp1)
+            # Level 2 (stride t): (X0, X1) with W2, (X2, X3) with W3.
+            lvl2 = rop[2 * m:4 * m].reshape(m, 2)
+            plvl2 = precon_rop[2 * m:4 * m].reshape(m, 2)
+            b0, b1 = bfly(a0, a1, lvl2[:, 0:1], plvl2[:, 0:1])
+            b2, b3 = bfly(a2, a3, lvl2[:, 1:2], plvl2[:, 1:2])
+            v[..., 0, :] = b0
+            v[..., 1, :] = b1
+            v[..., 2, :] = b2
+            v[..., 3, :] = b3
+            m <<= 2
+    if output_mod_factor == 1:
+        x = reduce_mod_lazy(x, modulus, 4)
+    return x
+
+
+def inv_ntt_radix4(operand, modulus: int, irop: np.ndarray,
+                   precon_irop: np.ndarray, input_mod_factor: int = 1,
+                   output_mod_factor: int = 1) -> np.ndarray:
+    """Inverse NTT via radix-4 decomposition (two fused radix-2 levels).
+
+    Mirrors InverseTransformFromBitReverseRadix4 (reference:
+    hexl/ntt/ntt-radix-4.cpp, butterfly ntt-default.hpp:128-156): radix-4
+    passes ascending from stride 1, a radix-2 post-step when the remaining
+    stage count is odd, and the final stage fused with N^{-1} exactly as
+    radix-2. Bit-identical to inv_ntt_radix2 including lazy [0,2q) ranges.
+    """
+    x = _as_u64(operand).copy()
+    n = x.shape[-1]
+    if input_mod_factor not in (1, 2):
+        raise ValueError("input_mod_factor must be 1 or 2")
+    if output_mod_factor not in (1, 2):
+        raise ValueError("output_mod_factor must be 1 or 2")
+    q = _U64(modulus)
+    two_q = _U64(2 * modulus)
+
+    def bfly(xs, ys, w, wp):
+        tx = xs + ys
+        tx = np.where(tx >= two_q, tx - two_q, tx)
+        ty = xs + two_q - ys
+        q_hat = mulhi64(ty, wp)
+        return tx, ty * w - q_hat * q
+
+    # log2(n) - 1 stages before the final fused one; pair them into
+    # radix-4 passes, with a radix-2 leftover pass when the count is odd.
+    stages_before_final = nt.log2_exact(n) - 1
+    root_index = 1
+    t = 1
+    with _errstate():
+        while stages_before_final >= 2:
+            m = n // (4 * t)
+            v = x.reshape(*x.shape[:-1], m, 4, t)
+            # Level 1 (stride t): blocks (X0,X1) and (X2,X3); 2m twiddles.
+            lvl1 = irop[root_index:root_index + 2 * m].reshape(m, 2)
+            plvl1 = precon_irop[root_index:root_index + 2 * m].reshape(m, 2)
+            root_index += 2 * m
+            a0, a1 = bfly(v[..., 0, :], v[..., 1, :],
+                          lvl1[:, 0:1], plvl1[:, 0:1])
+            a2, a3 = bfly(v[..., 2, :], v[..., 3, :],
+                          lvl1[:, 1:2], plvl1[:, 1:2])
+            # Level 2 (stride 2t): (X0, X2) and (X1, X3); m twiddles.
+            w2 = irop[root_index:root_index + m, None]
+            wp2 = precon_irop[root_index:root_index + m, None]
+            root_index += m
+            b0, b2 = bfly(a0, a2, w2, wp2)
+            b1, b3 = bfly(a1, a3, w2, wp2)
+            v[..., 0, :] = b0
+            v[..., 1, :] = b1
+            v[..., 2, :] = b2
+            v[..., 3, :] = b3
+            t <<= 2
+            stages_before_final -= 2
+        if stages_before_final == 1:
+            # Radix-2 leftover pass before the final fused stage.
+            m = n // (2 * t)
+            v = x.reshape(*x.shape[:-1], m, 2, t)
+            w = irop[root_index:root_index + m, None]
+            wp = precon_irop[root_index:root_index + m, None]
+            root_index += m
+            nx, ny = bfly(v[..., 0, :], v[..., 1, :], w, wp)
+            v[..., 0, :] = nx
+            v[..., 1, :] = ny
+        # Final stage fused with multiplication by N^{-1} (as radix-2).
+        w = int(irop[n - 1])
+        inv_n = nt.inverse_mod(n, modulus)
+        inv_n_precon = nt.barrett_factor(inv_n, 64, modulus)
+        inv_n_w = (inv_n * w) % modulus
+        inv_n_w_precon = nt.barrett_factor(inv_n_w, 64, modulus)
+        half = n >> 1
+        xs = x[..., :half]
+        ys = x[..., half:]
+        tx = xs + ys
+        tx = np.where(tx >= two_q, tx - two_q, tx)
+        ty = xs + two_q - ys
+        out = np.empty_like(x)
+        out[..., :half] = multiply_mod_lazy(tx, inv_n, inv_n_precon, modulus)
+        out[..., half:] = multiply_mod_lazy(ty, inv_n_w, inv_n_w_precon,
+                                            modulus)
+    if output_mod_factor == 1:
+        out = reduce_mod_lazy(out, modulus, 2)
+    return out
+
+
 def reference_fwd_ntt(operand, modulus: int, rop: np.ndarray) -> np.ndarray:
     """Textbook (non-lazy) forward NTT, outputs in [0,q) at every step.
 

@@ -128,6 +128,46 @@ def test_lazy_input_ranges():
     np.testing.assert_array_equal(inv, x)
 
 
+@pytest.mark.parametrize("log_n", [1, 2, 3, 4, 5, 6, 7, 9])
+@pytest.mark.parametrize("q_bits", [30, 50, 60])
+def test_radix4_matches_radix2(log_n, q_bits):
+    """Radix-4 decomposition is bit-identical to radix-2 (incl. lazy
+    ranges) — mirrors the reference's radix-2 vs radix-4 cross tests
+    (test/test-ntt.cpp:231-355)."""
+    n = 1 << log_n
+    if q_bits <= nt.log2_exact(n):
+        pytest.skip("modulus too small for degree")
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    rop, prop, irop, pirop = _tables(n, q)
+    rng = np.random.default_rng(log_n * 77 + q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+
+    for imf in (1, 2, 4):
+        for omf in (1, 4):
+            r2 = ref.fwd_ntt_radix2(x, q, rop, prop, imf, omf)
+            r4 = ref.fwd_ntt_radix4(x, q, rop, prop, imf, omf)
+            np.testing.assert_array_equal(r4, r2)
+
+    fwd = ref.fwd_ntt_radix2(x, q, rop, prop, 1, 1)
+    for imf in (1, 2):
+        for omf in (1, 2):
+            r2 = ref.inv_ntt_radix2(fwd, q, irop, pirop, imf, omf)
+            r4 = ref.inv_ntt_radix4(fwd, q, irop, pirop, imf, omf)
+            np.testing.assert_array_equal(r4, r2)
+    # Round trip through radix-4 both ways.
+    back = ref.inv_ntt_radix4(ref.fwd_ntt_radix4(x, q, rop, prop, 1, 1),
+                              q, irop, pirop, 1, 1)
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("n,q,inp,expected", GOLDEN)
+def test_golden_forward_radix4(n, q, inp, expected):
+    rop, prop, irop, pirop = _tables(n, q)
+    x = np.array(inp, dtype=np.uint64)
+    out = ref.fwd_ntt_radix4(x, q, rop, prop, 1, 1)
+    np.testing.assert_array_equal(out, np.array(expected, dtype=np.uint64))
+
+
 def test_negacyclic_convolution_property():
     # NTT-domain pointwise product == negacyclic polynomial product.
     n, q = 16, nt.generate_primes(1, 30, True, ntt_size=16)[0]
