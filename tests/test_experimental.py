@@ -99,6 +99,42 @@ def test_fft_like_with_scalar_roundtrip():
     np.testing.assert_allclose(dec, x, rtol=1e-8, atol=1e-8)
 
 
+def test_build_floating_points_golden():
+    """Golden vector ported verbatim from the reference
+    TEST(FFTLike, BuildFloatingPointsAVX512)
+    (test/experimental/fft-like/test-fft-like-avx512.cpp:21-126)."""
+    operand = [
+        17713475508538179584, 27, 0, 0, 16858552366855081984, 1, 0, 0,
+        18174255346774966272, 7, 0, 0, 1459965302409322496, 0, 0, 0,
+        10852157353743343297, 72057091796482622, 0, 0,
+        11766836204861046465, 72057091796482623, 0, 0,
+        2950642535971380929, 72057091796482619, 0, 0,
+        17395534788117004288, 3, 0, 0, 0, 0, 0, 0,
+        18086411410077564609, 72057091796482622, 0, 0,
+        14084559588513677312, 7, 0, 0, 5268365919623979008, 3, 0, 0,
+        6183044770741665792, 4, 0, 0,
+        15575236822075680449, 72057091796482626, 0, 0,
+        17307690851419578049, 72057091796482618, 0, 0,
+        176649757629939393, 72057091796482625, 0, 0]
+    expected = [469095144.125, 32109980.057216156, 133969900.94656014,
+                1327830.7073135898, -72732310.45981437, -55123198.89089907,
+                -130250344.32255825, 66152794.724299073, 0.0,
+                -66152794.724299081, 130250344.32255828, 55123198.89089907,
+                72732310.459814355, -1327830.7073136102,
+                -133969900.94656017, -32109980.05721616]
+    threshold = [8517601062242512737, 36028545898241313, 0, 0]
+    dec_modulus = [17035202124485025473, 72057091796482626, 0, 0]
+    inv_scale = 1.0 / (1 << 40)
+
+    # Reference layout is coeff-major (i*mod_size + j); ours is
+    # (mod_size, n) word-planes — transpose to convert.
+    plain = np.array(operand, dtype=np.uint64).reshape(16, 4).T
+    fft = FFTLike(16)
+    out = fft.build_floating_points(plain, threshold, dec_modulus, inv_scale)
+    np.testing.assert_array_equal(out.real, np.array(expected))
+    np.testing.assert_array_equal(out.imag, np.zeros(16))
+
+
 def _key_switch_oracle(result, t_target, n, ds, kms, rns, kc, moduli, keys,
                        msf):
     """Independent big-int host oracle following the published algorithm."""
