@@ -41,23 +41,34 @@ def main():
     else:
         from hexl_tpu.ntt import jnp_ntt as impl
     import jax as _jax
-    pair = _jax.jit(lambda v: impl.inv_ntt(impl.fwd_ntt(v, plan, 1, 1),
-                                           plan, 1, 1))
+
+    def pair(v):
+        return impl.inv_ntt(impl.fwd_ntt(v, plan, 1, 1), plan, 1, 1)
+
+    # Chain CHAIN pairs inside one dispatch (lax.scan) so device throughput
+    # is measured rather than host->device dispatch latency: the attached
+    # TPU tunnel costs ~1.5 ms per dispatch, which at batch=128 would be
+    # ~30% of the measurement. Each scan step's output feeds the next
+    # step's input (inv output range [0,q) is a valid fwd input), so steps
+    # are truly serialized on device.
+    chain = 16
+    chained = _jax.jit(lambda v: _jax.lax.scan(
+        lambda c, _: (pair(c), None), v, None, length=chain)[0])
 
     rng = np.random.default_rng(0)
     x = to_limbs(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
     # Warm up / compile.
-    out = pair(x)
+    out = chained(x)
     jax.block_until_ready(out)
 
-    iters = 20
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pair(x)
+        out = chained(x)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    pairs_per_sec = batch * iters / dt
+    pairs_per_sec = batch * chain * iters / dt
 
     # Reference baseline: single-threaded AVX512-IFMA Xeon, same config.
     base_file = pathlib.Path(__file__).parent / "benchmarks" \

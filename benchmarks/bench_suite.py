@@ -1,0 +1,200 @@
+"""Full benchmark suite mirroring the reference's Google-Benchmark coverage.
+
+Runs every public kernel on the configs the reference benchmarks use
+(BASELINE.md "Benchmark suite shape": N in {1024, 4096, 16384} NTTs at
+~49/60-bit primes, eltwise ops at their reference sizes) and compares each
+row against the measured intel/hexl AVX512-IFMA baseline
+(benchmarks/reference_baseline/baseline_results.json).
+
+Methodology: the reference is a single-threaded single-call library; a TPU
+is a throughput device, so each op runs on a BATCH of independent vectors
+(RNS bases and ciphertext batches are embarrassingly parallel — this is the
+library's production shape) and we report amortized per-call time. In
+addition, CHAIN applications are serialized inside one dispatch via
+lax.scan (each step's output feeds the next step's input) so that device
+throughput is measured rather than the host->device dispatch latency of
+the attached tunnel (~1.5 ms/dispatch).
+
+Usage:  python benchmarks/bench_suite.py [--out results.json] [--quick]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+CHAIN = 32
+
+
+def _chained(op, extra=()):
+    """jit(x -> scan of op applied CHAIN times), op's output must be a
+    valid input (true for every op benchmarked here; see range notes)."""
+    import jax
+
+    def step(c, _):
+        return op(c, *extra), None
+
+    return jax.jit(lambda v: jax.lax.scan(step, v, None, length=CHAIN)[0])
+
+
+def _time_dispatch(fn, args, iters):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer iters / configs (smoke run)")
+    args = ap.parse_args()
+
+    import jax
+
+    from hexl_tpu import config, nt
+    from hexl_tpu.eltwise import jnp_kernels as ek
+    from hexl_tpu.limb import to_limbs
+    from hexl_tpu.ntt import get_plan
+
+    if config.use_pallas():
+        from hexl_tpu.ntt import pallas_ntt as ntt_impl
+    else:
+        from hexl_tpu.ntt import jnp_ntt as ntt_impl
+
+    base_file = (pathlib.Path(__file__).parent / "reference_baseline"
+                 / "baseline_results.json")
+    baseline = {}
+    if base_file.exists():
+        for r in json.loads(base_file.read_text()):
+            baseline[(r["kernel"], r["n"], r["q_bits"])] = r["us_per_call"]
+
+    iters = 2 if args.quick else 5
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def record(kernel, n, q_bits, batch, dt_dispatch):
+        us = dt_dispatch / (batch * CHAIN) * 1e6
+        row = {"kernel": kernel, "n": n, "q_bits": q_bits, "batch": batch,
+               "chain": CHAIN, "us_per_call": round(us, 4),
+               "calls_per_sec": round(batch * CHAIN / dt_dispatch, 1)}
+        base = baseline.get((kernel, n, q_bits))
+        if base is not None:
+            row["ref_us_per_call"] = base
+            row["vs_baseline"] = round(base / us, 3)
+        rows.append(row)
+        speed = f"  {row.get('vs_baseline', 0):>8}x" \
+            if base is not None else "          "
+        print(f"{kernel:24s} N={n:<6d} q={q_bits}b batch={batch:<4d} "
+              f"{us:10.3f} us/call{speed}", flush=True)
+
+    def rand_u64(batch, n, bound):
+        return to_limbs(rng.integers(0, bound, size=(batch, n),
+                                     dtype=np.uint64))
+
+    # ---- NTT suite (reference: benchmark/bench-ntt.cpp) ----
+    # Chained ranges: fwd OMF=1 output [0,q) feeds IMF=1; fwd lazy runs
+    # with IMF=4 so its own [0,4q) output is a valid next input; inv lazy
+    # IMF=2 likewise.
+    ntt_sizes = [4096] if args.quick else [1024, 4096, 16384]
+    for n in ntt_sizes:
+        batch = 256 if n <= 4096 else 128
+        for q_bits in ([49] if args.quick else [49, 60]):
+            q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+            plan = get_plan(n, q)
+            x = to_limbs(rng.integers(0, q, size=(batch, n),
+                                      dtype=np.uint64))
+            cases = [
+                ("fwd_ntt", lambda v: ntt_impl.fwd_ntt(v, plan, 1, 1)),
+                ("fwd_ntt_lazy", lambda v: ntt_impl.fwd_ntt(v, plan, 4, 4)),
+                ("inv_ntt", lambda v: ntt_impl.inv_ntt(v, plan, 1, 1)),
+                ("inv_ntt_lazy", lambda v: ntt_impl.inv_ntt(v, plan, 2, 2)),
+            ]
+            for name, op in cases:
+                fn = _chained(op)
+                record(name, n, q_bits, batch,
+                       _time_dispatch(fn, (x,), iters))
+
+    # ---- Eltwise suite (reference: benchmark/bench-eltwise-*.cpp) ----
+    elt_batch = 1024
+    # add/sub at N=4096, 60-bit
+    n, q_bits = 4096, 60
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    a, b = rand_u64(elt_batch, n, q), rand_u64(elt_batch, n, q)
+    record("eltwise_add_mod", n, q_bits, elt_batch, _time_dispatch(
+        _chained(lambda x, y: ek.add_mod(x, y, q), (b,)), (a,), iters))
+    record("eltwise_sub_mod", n, q_bits, elt_batch, _time_dispatch(
+        _chained(lambda x, y: ek.sub_mod(x, y, q), (b,)), (a,), iters))
+
+    # mult/reduce at N=8192, 49 & 60-bit
+    n = 8192
+    for q_bits in (49, 60):
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        a, b = rand_u64(elt_batch, n, q), rand_u64(elt_batch, n, q)
+        record("eltwise_mult_mod", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, y, q=q: ek.mult_mod(x, y, q, 1), (b,)),
+            (a,), iters))
+        a4 = rand_u64(elt_batch, n, 4 * q)
+        record("eltwise_reduce_mod", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, q=q: ek.reduce_mod(x, q, 4, 1)),
+            (a4,), iters))
+
+    # fma / cmp ops at N=16384, 59-bit
+    n, q_bits = 16384, 59
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    a = rand_u64(elt_batch, n, q)
+    c = rand_u64(elt_batch, n, q)
+    scalar = int(rng.integers(1, q))
+    record("eltwise_fma_mod", n, q_bits, elt_batch, _time_dispatch(
+        _chained(lambda x, y, q=q, s=scalar: ek.fma_mod(x, s, y, q, 1),
+                 (c,)), (a,), iters))
+    record("eltwise_cmp_add", n, q_bits, elt_batch, _time_dispatch(
+        _chained(lambda x: ek.cmp_add(x, "nle", q // 2, 7)), (a,), iters))
+    record("eltwise_cmp_sub_mod", n, q_bits, elt_batch, _time_dispatch(
+        _chained(lambda x, q=q: ek.cmp_sub_mod(x, q, "nle", q // 2, 7)),
+        (a,), iters))
+
+    # Montgomery family (reference: bench-eltwise-reduce-mod.cpp Mont rows)
+    if not args.quick:
+        n, q_bits = 8192, 49
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        a, b = rand_u64(elt_batch, n, q), rand_u64(elt_batch, n, q)
+        record("eltwise_mont_form_in", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, q=q: ek.montgomery_form_in(x, q)),
+            (a,), iters))
+        record("eltwise_mont_reduce", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, y, q=q: ek.montgomery_mult_reduce(x, y, q),
+                     (b,)), (a, ), iters))
+
+    # ---- Composite: fused poly-mult pipeline ----
+    if not args.quick:
+        from hexl_tpu import poly
+        n, q_bits, batch = 16384, 60, 64
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        plan = get_plan(n, q)
+        impl = (poly._poly_mult_pallas if config.use_pallas()
+                else poly._poly_mult_xla)
+        a, b = rand_u64(batch, n, q), rand_u64(batch, n, q)
+        record("poly_mult_pipeline", n, q_bits, batch, _time_dispatch(
+            _chained(lambda x, y: impl(x, y, plan), (b,)), (a,), iters))
+
+    print(f"\nplatform={jax.default_backend()}  "
+          f"pallas={config.use_pallas()}  chain={CHAIN}  rows={len(rows)}")
+    out_path = args.out or str(pathlib.Path(__file__).parent
+                               / "tpu_results.json")
+    pathlib.Path(out_path).write_text(json.dumps(rows, indent=1))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
