@@ -212,9 +212,19 @@ def _run_pallas(x_lo, plan: NttPlan, omf: int, forward: bool):
     return out.reshape(shape)
 
 
+# Single-limb fused kernel: half the stage temporaries of the 2-limb
+# kernel, so the Mosaic scoped-vmem ceiling sits one power of two higher
+# (see pallas_ntt.PALLAS_MAX_N).
+PALLAS32_MAX_N = 1 << 16
+
+
 def fwd_ntt32_pallas(x_lo, plan, input_mod_factor=1, output_mod_factor=1):
+    if plan.n > PALLAS32_MAX_N:
+        return fwd_ntt32(x_lo, plan, input_mod_factor, output_mod_factor)
     return _run_pallas(x_lo, plan, output_mod_factor, True)
 
 
 def inv_ntt32_pallas(x_lo, plan, input_mod_factor=1, output_mod_factor=1):
+    if plan.n > PALLAS32_MAX_N:
+        return inv_ntt32(x_lo, plan, input_mod_factor, output_mod_factor)
     return _run_pallas(x_lo, plan, output_mod_factor, False)

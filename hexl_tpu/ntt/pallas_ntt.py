@@ -35,6 +35,14 @@ from .jnp_ntt import (_final_inv_stage, _fwd_butterfly,
                       _untranspose_tiles)
 from .plan import LANES, NttPlan
 
+# Largest degree the fully-fused kernel compiles for: Mosaic allocates the
+# unrolled stage temporaries on the VMEM stack without reuse, so the
+# working set grows with N x log N; N = 2^16 exceeds the 16 MB scoped-vmem
+# limit (measured on v5e). Larger transforms use the staged XLA body,
+# which round-trips HBM per stage (the reference handles the same pressure
+# with its depth-first recursive split, fwd-ntt-avx512.cpp:274).
+PALLAS_MAX_N = 1 << 15
+
 
 def _butterflies():
     """Pallas kernels default to approximate-mulhi Shoup butterflies
@@ -178,23 +186,25 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
 
 def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
             output_mod_factor: int = 1) -> U64:
-    """Forward NTT via the fused Pallas kernel (N >= 1024)."""
+    """Forward NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N;
+    other sizes fall back to the staged XLA body)."""
     if input_mod_factor not in (1, 2, 4):
         raise ValueError("input_mod_factor must be 1, 2 or 4")
     if output_mod_factor not in (1, 4):
         raise ValueError("output_mod_factor must be 1 or 4")
-    if plan.rows is None:
+    if plan.rows is None or plan.n > PALLAS_MAX_N:
         return jnp_ntt.fwd_ntt(x, plan, input_mod_factor, output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, True)
 
 
 def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
             output_mod_factor: int = 1) -> U64:
-    """Inverse NTT via the fused Pallas kernel (N >= 1024)."""
+    """Inverse NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N;
+    other sizes fall back to the staged XLA body)."""
     if input_mod_factor not in (1, 2):
         raise ValueError("input_mod_factor must be 1 or 2")
     if output_mod_factor not in (1, 2):
         raise ValueError("output_mod_factor must be 1 or 2")
-    if plan.rows is None:
+    if plan.rows is None or plan.n > PALLAS_MAX_N:
         return jnp_ntt.inv_ntt(x, plan, input_mod_factor, output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, False)

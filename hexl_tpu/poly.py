@@ -79,6 +79,16 @@ def _poly_mult_pallas(a: U64, b: U64, plan) -> U64:
     return U64(out_hi.reshape(shape), out_lo.reshape(shape))
 
 
+def _poly_mult_staged(a: U64, b: U64, plan) -> U64:
+    """Pallas per-transform (not fully fused): for N above the fused
+    kernel's VMEM ceiling."""
+    from .ntt import pallas_ntt
+    fa = pallas_ntt.fwd_ntt(a, plan, 1, 4)
+    fb = pallas_ntt.fwd_ntt(b, plan, 1, 4)
+    prod = K.mult_mod(fa, fb, plan.q, 4)
+    return pallas_ntt.inv_ntt(prod, plan, 1, 1)
+
+
 def _poly_mult_xla(a: U64, b: U64, plan) -> U64:
     fa = jnp_ntt.fwd_ntt(a, plan, 1, 4)
     fb = jnp_ntt.fwd_ntt(b, plan, 1, 4)
@@ -89,8 +99,14 @@ def _poly_mult_xla(a: U64, b: U64, plan) -> U64:
 @functools.lru_cache(maxsize=None)
 def _jitted_poly_mult(n: int, q: int, use_pallas: bool):
     plan = get_plan(n, q)
-    if use_pallas and plan.rows is not None:
+    # The fused triple-transform kernel holds ~3 transforms of unrolled
+    # temporaries; it hits Mosaic's scoped-vmem ceiling one notch below
+    # the single-transform kernel (pallas_ntt.PALLAS_MAX_N).
+    if use_pallas and plan.rows is not None and n <= (1 << 14):
         return jax.jit(lambda a, b: _poly_mult_pallas(a, b, plan))
+    if use_pallas and plan.rows is not None:
+        from .ntt import pallas_ntt
+        return jax.jit(lambda a, b: _poly_mult_staged(a, b, plan))
     return jax.jit(lambda a, b: _poly_mult_xla(a, b, plan))
 
 

@@ -182,3 +182,25 @@ def test_fused_poly_mult_mod():
         exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, p), p,
                                  pn.plan.irop, pn.plan.pirop, 1, 1)
         np.testing.assert_array_equal(got_rns[i], exp)
+
+
+def test_pallas_size_gate_falls_back(monkeypatch):
+    """Degrees above the fused kernel's VMEM ceiling must transparently
+    use the staged XLA body (bit-identical results). The real ceiling is
+    2^15 (Mosaic scoped-vmem OOM at 2^16 on v5e); we lower it here so the
+    gate itself is exercised cheaply."""
+    from hexl_tpu.limb import from_limbs, to_limbs
+    from hexl_tpu.ntt import get_plan, jnp_ntt, pallas_ntt
+
+    monkeypatch.setattr(pallas_ntt, "PALLAS_MAX_N", 1024)
+    n = 2048
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    plan = get_plan(n, q)
+    rng = np.random.default_rng(9)
+    x = to_limbs(rng.integers(0, q, size=n, dtype=np.uint64))
+    got = pallas_ntt.fwd_ntt(x, plan, 1, 1)      # gated -> jnp body
+    exp = jnp_ntt.fwd_ntt(x, plan, 1, 1)
+    np.testing.assert_array_equal(from_limbs(got), from_limbs(exp))
+    gi = pallas_ntt.inv_ntt(got, plan, 1, 1)
+    np.testing.assert_array_equal(from_limbs(gi),
+                                  from_limbs(x))
