@@ -35,13 +35,19 @@ from .jnp_ntt import (_final_inv_stage, _fwd_butterfly,
                       _untranspose_tiles)
 from .plan import LANES, NttPlan
 
-# Largest degree the fully-fused kernel compiles for: Mosaic allocates the
-# unrolled stage temporaries on the VMEM stack without reuse, so the
-# working set grows with N x log N; N = 2^16 exceeds the 16 MB scoped-vmem
-# limit (measured on v5e). Larger transforms use the staged XLA body,
-# which round-trips HBM per stage (the reference handles the same pressure
-# with its depth-first recursive split, fwd-ntt-avx512.cpp:274).
-PALLAS_MAX_N = 1 << 15
+# Largest degree the fully-fused kernel compiles for. Mosaic allocates a
+# kernel's temporaries on the VMEM stack per live range; the kernel below
+# bounds the live set to ONE stage's temporaries by writing each stage's
+# result back to a VMEM scratch buffer (a pure-functional body keeps every
+# stage's temps live simultaneously and already dies at N = 2^16). With
+# the writeback structure the per-stage live set itself exceeds the 16 MB
+# scoped-vmem limit beyond these bounds (measured on v5e; the inverse
+# kernel's row-stage loop is ~1.2x fatter than the forward's, so its
+# ceiling sits one notch lower). Larger transforms use the staged XLA
+# body, which round-trips HBM per stage (the reference handles the same
+# pressure with its depth-first recursive split, fwd-ntt-avx512.cpp:274).
+PALLAS_MAX_N_FWD = 1 << 16
+PALLAS_MAX_N_INV = 1 << 15
 
 
 def _butterflies():
@@ -138,6 +144,83 @@ def _inv_body(x: U64, plan: NttPlan, inv_b, inv_a, omf: int) -> U64:
     return x
 
 
+def _store(hi_ref, lo_ref, v: U64) -> None:
+    hi_ref[...] = v.hi
+    lo_ref[...] = v.lo
+
+
+def _phase_b_tilewise(plan, s1, tt, bfly, q, two_q):
+    """Run the lane-stride stages tile by tile in the transposed scratch:
+    phase-B butterflies never cross tiles, so per-tile processing divides
+    the live temporary set by plan.tiles (the binding constraint for the
+    scoped-vmem ceiling at large N)."""
+    thi, tlo = tt
+    for ti in range(plan.tiles):
+        xv = U64(thi[ti], tlo[ti])          # (LANES, lane_l)
+        for m, t, w, wp in s1:
+            nb = LANES // (2 * t)
+            xs, ys, join = _split2(xv, 0, nb, t)
+            wt = U64(w.hi[ti][:, None, :], w.lo[ti][:, None, :])
+            wpt = U64(wp.hi[ti][:, None, :], wp.lo[ti][:, None, :])
+            nx, ny = bfly(xs, ys, wt, wpt, q, two_q)
+            xv = join(nx, ny)
+        thi[ti] = xv.hi
+        tlo[ti] = xv.lo
+
+
+def _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q, two_q):
+    """Forward stages with per-stage writeback to scratch refs rr/tt
+    ((rows,LANES) and transposed (tiles,LANES,L)) — bounds Mosaic's live
+    temporaries to one stage (see PALLAS_MAX_N note)."""
+    rhi, rlo = rr
+    thi, tlo = tt
+    for m, t, w, wp in s0:
+        xv = U64(rhi[...], rlo[...])
+        xs, ys, join = _split2(xv, 0, m, t // LANES)
+        nx, ny = fwd_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        _store(rhi, rlo, join(nx, ny))
+    xt = _transpose_tiles(U64(rhi[...], rlo[...]), plan.tiles, plan.lane_l)
+    _store(thi, tlo, xt)
+    _phase_b_tilewise(plan, s1, tt, fwd_bfly, q, two_q)
+    out = _untranspose_tiles(U64(thi[...], tlo[...]), plan.rows)
+    if omf == 1:
+        out = reduce_mod_lazy64(out, plan.q, 4)
+    return out
+
+
+def _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q, two_q):
+    """Inverse stages with per-stage writeback (mirror of _fwd_ref_body:
+    phase B' in the transposed scratch first, then phase A', then the
+    final stage fused with N^{-1})."""
+    rhi, rlo = rr
+    thi, tlo = tt
+    xt = _transpose_tiles(U64(rhi[...], rlo[...]), plan.tiles, plan.lane_l)
+    _store(thi, tlo, xt)
+    _phase_b_tilewise(plan, s0, tt, inv_bfly, q, two_q)
+    _store(rhi, rlo, _untranspose_tiles(U64(thi[...], tlo[...]), plan.rows))
+    for m, t, w, wp in s1:
+        xv = U64(rhi[...], rlo[...])
+        xs, ys, join = _split2(xv, 0, m, t // LANES)
+        nx, ny = inv_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        _store(rhi, rlo, join(nx, ny))
+    # Final stage fused with N^{-1}, written back half-by-half to keep
+    # the live set small (the concatenating form pushes N=2^16 over the
+    # scoped-vmem limit).
+    half = plan.rows // 2
+    xs = U64(rhi[:half, :], rlo[:half, :])
+    ys = U64(rhi[half:, :], rlo[half:, :])
+    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+    if omf == 1:
+        nx = cond_sub64(nx, q)
+    rhi[:half, :] = nx.hi
+    rlo[:half, :] = nx.lo
+    if omf == 1:
+        ny = cond_sub64(ny, q)
+    rhi[half:, :] = ny.hi
+    rlo[half:, :] = ny.lo
+    return U64(rhi[...], rlo[...])
+
+
 def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
     shape = x.lo.shape
     n, rows = plan.n, plan.rows
@@ -153,16 +236,39 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
         stages = (plan.inv_b, plan.inv_a)
     tw_planes = _stage_planes(stages[0]) + _stage_planes(stages[1])
 
+    # The functional body is ~9% faster (no scratch copies) but keeps all
+    # stage temporaries live; it fits the scoped-vmem limit up to 2^15.
+    # Above that the writeback body is the only one that compiles.
+    use_refs = n > (1 << 15)
+
     def kernel(*refs):
-        xv = U64(refs[0][...], refs[1][...])
         s0, i = _load_stages(stages[0], refs, 2)
         s1, i = _load_stages(stages[1], refs, i)
+        if not use_refs:
+            xv = U64(refs[0][...], refs[1][...])
+            if forward:
+                out = _fwd_body(xv, plan, s0, s1, omf)
+            else:
+                out = _inv_body(xv, plan, s0, s1, omf)
+            refs[i][...] = out.hi
+            refs[i + 1][...] = out.lo
+            return
+        q = const64(plan.q)
+        two_q = const64(2 * plan.q)
+        fwd_bfly, inv_bfly = _butterflies()
+        ohi, olo = refs[i], refs[i + 1]
+        rr = (refs[i + 2], refs[i + 3])
+        tt = (refs[i + 4], refs[i + 5])
+        rr[0][...] = refs[0][0]
+        rr[1][...] = refs[1][0]
         if forward:
-            out = _fwd_body(xv, plan, s0, s1, omf)
+            out = _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q,
+                                two_q)
         else:
-            out = _inv_body(xv, plan, s0, s1, omf)
-        refs[i][...] = out.hi
-        refs[i + 1][...] = out.lo
+            out = _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q,
+                                two_q)
+        ohi[...] = out.hi[None]
+        olo[...] = out.lo[None]
 
     x_spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -180,31 +286,37 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.uint32),
+            pltpu.VMEM((rows, LANES), jnp.uint32),
+            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
+            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
+        ],
     )(x3.hi, x3.lo, *tw_planes)
     return U64(out_hi.reshape(shape), out_lo.reshape(shape))
 
 
 def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
             output_mod_factor: int = 1) -> U64:
-    """Forward NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N;
+    """Forward NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N_FWD;
     other sizes fall back to the staged XLA body)."""
     if input_mod_factor not in (1, 2, 4):
         raise ValueError("input_mod_factor must be 1, 2 or 4")
     if output_mod_factor not in (1, 4):
         raise ValueError("output_mod_factor must be 1 or 4")
-    if plan.rows is None or plan.n > PALLAS_MAX_N:
+    if plan.rows is None or plan.n > PALLAS_MAX_N_FWD:
         return jnp_ntt.fwd_ntt(x, plan, input_mod_factor, output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, True)
 
 
 def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
             output_mod_factor: int = 1) -> U64:
-    """Inverse NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N;
+    """Inverse NTT via the fused Pallas kernel (1024 <= N <= PALLAS_MAX_N_INV;
     other sizes fall back to the staged XLA body)."""
     if input_mod_factor not in (1, 2):
         raise ValueError("input_mod_factor must be 1 or 2")
     if output_mod_factor not in (1, 2):
         raise ValueError("output_mod_factor must be 1 or 2")
-    if plan.rows is None or plan.n > PALLAS_MAX_N:
+    if plan.rows is None or plan.n > PALLAS_MAX_N_INV:
         return jnp_ntt.inv_ntt(x, plan, input_mod_factor, output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, False)

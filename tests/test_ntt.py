@@ -192,7 +192,8 @@ def test_pallas_size_gate_falls_back(monkeypatch):
     from hexl_tpu.limb import from_limbs, to_limbs
     from hexl_tpu.ntt import get_plan, jnp_ntt, pallas_ntt
 
-    monkeypatch.setattr(pallas_ntt, "PALLAS_MAX_N", 1024)
+    monkeypatch.setattr(pallas_ntt, "PALLAS_MAX_N_FWD", 1024)
+    monkeypatch.setattr(pallas_ntt, "PALLAS_MAX_N_INV", 1024)
     n = 2048
     q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
     plan = get_plan(n, q)
