@@ -1,5 +1,6 @@
 """Multi-chip parallelism: sharded NTT and RNS pipelines over a device mesh."""
 
-from .dist_ntt import DistNTT, make_mesh
+from .dist_ntt import (DistNTT, dist_rns_poly_mult, get_dist_ntt,
+                       make_mesh)
 
-__all__ = ["DistNTT", "make_mesh"]
+__all__ = ["DistNTT", "dist_rns_poly_mult", "get_dist_ntt", "make_mesh"]

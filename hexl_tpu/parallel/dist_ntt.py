@@ -324,6 +324,73 @@ class DistNTT:
         )
         return jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
 
+    def _build_poly_mult(self, ndim: int):
+        """One shard_map for the whole negacyclic product: fwd(a), fwd(b)
+        lazy [0,4q), pointwise Barrett mult, inverse — a single compile
+        with no intermediate host dispatches; the four all-to-alls are
+        the only ICI traffic."""
+        from ..eltwise import jnp_kernels as K
+
+        mesh = self.mesh
+        x_spec = self._x_spec(ndim)
+
+        def unpack(tables, meta, off):
+            out = [(meta[i][0], meta[i][1],
+                    U64(tables[off + 4 * i][0], tables[off + 4 * i + 1][0]),
+                    U64(tables[off + 4 * i + 2][0],
+                        tables[off + 4 * i + 3][0]))
+                   for i in range(len(meta))]
+            return out, off + 4 * len(meta)
+
+        def body(a_hi, a_lo, b_hi, b_lo, *tables):
+            q = const64(self.q)
+            two_q = const64(2 * self.q)
+            fsa, off = unpack(tables, self.fwd_a, 0)
+            fsb, off = unpack(tables, self.fwd_b, off)
+            isb, off = unpack(tables, self.inv_b, off)
+            isa, off = unpack(tables, self.inv_a, off)
+
+            def fwd4(hi, lo):
+                v = self._cross_fwd_body(U64(hi, lo), q, two_q)
+                return self._local_fwd_body(v, fsa, fsb, 4, q, two_q)
+
+            fa = fwd4(a_hi, a_lo)
+            fb = fwd4(b_hi, b_lo)
+            prod = K.mult_mod(fa, fb, self.q, 4)          # [0, q)
+            x = self._local_inv_body(prod, isb, isa, q, two_q)
+            x = self._cross_inv_body(x, q, two_q)
+            x = cond_sub64(x, q)
+            return x.hi, x.lo
+
+        table_planes = []
+        table_specs = []
+        for m, t, w, wp in (self.fwd_a + self.fwd_b + self.inv_b
+                            + self.inv_a):
+            for pln in (w.hi, w.lo, wp.hi, wp.lo):
+                table_planes.append(pln)
+                table_specs.append(P("coeff"))
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(x_spec,) * 4 + tuple(table_specs),
+            out_specs=(x_spec, x_spec),
+        )
+        return jax.jit(lambda ah, al, bh, bl: fn(ah, al, bh, bl,
+                                                 *table_planes))
+
+    def poly_mult(self, a, b):
+        """Sharded negacyclic product c = a*b mod (X^N+1, q); inputs
+        (batch..., N) in [0, q), one fused dispatch over the mesh."""
+        host = not isinstance(a, U64)
+        a_l = to_limbs(np.asarray(a, dtype=np.uint64)) if host else a
+        b_l = to_limbs(np.asarray(b, dtype=np.uint64)) if host else b
+        key = ("poly", a_l.lo.ndim)
+        if key not in self._fwd_cache:
+            self._fwd_cache[key] = self._build_poly_mult(a_l.lo.ndim)
+        hi, lo = self._fwd_cache[key](a_l.hi, a_l.lo, b_l.hi, b_l.lo)
+        out = U64(hi, lo)
+        return from_limbs(out) if host else out
+
     def forward(self, x, input_mod_factor: int = 1,
                 output_mod_factor: int = 1):
         """Sharded forward NTT; x shape (batch..., N) (host numpy or U64)."""
@@ -348,3 +415,41 @@ class DistNTT:
         hi, lo = self._inv_cache[key](x_l.hi, x_l.lo)
         out = U64(hi, lo)
         return from_limbs(out) if host else out
+
+
+# ---------------------------------------------------------------------------
+# RNS convenience: the north-star pipeline (BASELINE.md) — per-prime sharded
+# negacyclic products over a (batch, coeff) mesh. Primes are independent
+# (the EP-like axis); each gets its own DistNTT (twiddles depend on q).
+# ---------------------------------------------------------------------------
+
+_DIST_CACHE = {}
+
+
+def get_dist_ntt(degree: int, modulus: int, mesh: Mesh) -> "DistNTT":
+    key = (degree, modulus, id(mesh))
+    if key not in _DIST_CACHE:
+        _DIST_CACHE[key] = DistNTT(degree, modulus, mesh)
+    return _DIST_CACHE[key]
+
+
+def dist_rns_poly_mult(a, b, degree: int, moduli, mesh: Mesh):
+    """c_i = a_i * b_i over Z_{q_i}[X]/(X^N + 1) for each RNS prime q_i.
+
+    a, b: (num_primes, batch..., N) residue stacks (host numpy or U64).
+    Each prime runs the fused sharded pipeline (DistNTT.poly_mult).
+    """
+    moduli = [int(q) for q in moduli]
+    host = not isinstance(a, U64)
+    a_np = np.asarray(a, dtype=np.uint64) if host else a
+    b_np = np.asarray(b, dtype=np.uint64) if host else b
+    outs = []
+    for i, q in enumerate(moduli):
+        dntt = get_dist_ntt(degree, q, mesh)
+        ai = a_np[i] if host else U64(a.hi[i], a.lo[i])
+        bi = b_np[i] if host else U64(b.hi[i], b.lo[i])
+        outs.append(dntt.poly_mult(ai, bi))
+    if host:
+        return np.stack(outs)
+    return U64(jnp.stack([o.hi for o in outs]),
+               jnp.stack([o.lo for o in outs]))

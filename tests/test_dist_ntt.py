@@ -66,3 +66,44 @@ def test_dist_poly_mult_pipeline():
     c_o = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa_o, fb_o, q), q,
                              dntt.plan.irop, dntt.plan.pirop, 1, 1)
     np.testing.assert_array_equal(c, c_o)
+
+
+def test_dist_fused_poly_mult():
+    """DistNTT.poly_mult (one shard_map for fwd x2 -> mult -> inv) matches
+    the oracle pipeline."""
+    _require_devices(4)
+    n = 1 << 13
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    mesh = make_mesh(4, 2)
+    dntt = DistNTT(n, q, mesh)
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    b = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    c = np.asarray(dntt.poly_mult(a, b))
+    fa = ref.fwd_ntt_radix2(a, q, dntt.plan.rop, dntt.plan.prop, 1, 4)
+    fb = ref.fwd_ntt_radix2(b, q, dntt.plan.rop, dntt.plan.prop, 1, 4)
+    exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, q, 4), q,
+                             dntt.plan.irop, dntt.plan.pirop, 1, 1)
+    np.testing.assert_array_equal(c, exp)
+
+
+def test_dist_rns_poly_mult():
+    """Per-prime sharded pipeline over a 3-prime RNS basis."""
+    from hexl_tpu.parallel import dist_rns_poly_mult
+    _require_devices(8)
+    n = 1 << 13
+    primes = nt.generate_primes(3, 45, True, ntt_size=n)
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, min(primes), size=(3, 2, n), dtype=np.uint64)
+    b = rng.integers(0, min(primes), size=(3, 2, n), dtype=np.uint64)
+    got = dist_rns_poly_mult(a, b, n, primes, mesh)
+    for i, q in enumerate(primes):
+        plan_rop, plan_irop, _ = ref.root_of_unity_powers(n, q)
+        prop = ref.precon64(plan_rop, q)
+        pirop = ref.precon64(plan_irop, q)
+        fa = ref.fwd_ntt_radix2(a[i], q, plan_rop, prop, 1, 4)
+        fb = ref.fwd_ntt_radix2(b[i], q, plan_rop, prop, 1, 4)
+        exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, q, 4), q,
+                                 plan_irop, pirop, 1, 1)
+        np.testing.assert_array_equal(got[i], exp)
