@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import nt
+from .. import config, nt
 from ..eltwise import jnp_kernels as K
 from ..limb import (U64, U128, add128, add64, barrett_reduce_u64, const64,
                     from_limbs, mul64_wide, mult_mod_barrett, sub64,
@@ -48,8 +48,12 @@ def _barrett_reduce_128(t: U128, modulus: int) -> U64:
 def _jitted_key_switch(n: int, decomp_modulus_size: int,
                        key_modulus_size: int, rns_modulus_size: int,
                        key_component_count: int, moduli: tuple,
-                       modswitch_factors: tuple):
+                       modswitch_factors: tuple, use_pallas: bool = False):
     plans = {q: get_plan(n, q) for q in set(moduli)}
+    if use_pallas:
+        from ..ntt import pallas_ntt as ntt_impl
+    else:
+        ntt_impl = jnp_ntt
 
     def fn(result: U64, t_target: U64, keys: U64):
         # result:   (key_component_count, decomp_modulus_size, n)
@@ -63,7 +67,7 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
         t_target_intt = []
         for j in range(decomp_modulus_size):
             qj = moduli[j]
-            t = jnp_ntt.inv_ntt(get(t_target, j), plans[qj], 2, 1)
+            t = ntt_impl.inv_ntt(get(t_target, j), plans[qj], 2, 1)
             t_target_intt.append(t)
 
         t_poly_prod = [[None] * rns_modulus_size
@@ -81,7 +85,7 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
                     tj = t_target_intt[j]
                     if moduli[j] > qk:
                         tj = K.reduce_mod(tj, qk, qk, 1)
-                    t_operand = jnp_ntt.fwd_ntt(tj, plans[qk], 4, 4)
+                    t_operand = ntt_impl.fwd_ntt(tj, plans[qk], 4, 4)
                 for k in range(key_component_count):
                     key_poly = get(keys, j, k, key_index)
                     prod = mul64_wide(t_operand, key_poly)
@@ -94,8 +98,8 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
         qk_half = qk >> 1
         out_parts = []
         for k in range(key_component_count):
-            t_last = jnp_ntt.inv_ntt(t_poly_prod[k][decomp_modulus_size],
-                                     plans[qk], 2, 2)
+            t_last = ntt_impl.inv_ntt(
+                t_poly_prod[k][decomp_modulus_size], plans[qk], 2, 2)
             # +qk/2 rounding trick, full reduce to [0, qk).
             q_barr = nt.barrett_factor(1, 64, qk)
             t_last = barrett_reduce_u64(
@@ -110,7 +114,7 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
                 fix = qi - nt.barrett_reduce_64(
                     qk_half, qi, nt.barrett_factor(1, 64, qi))
                 t_ntt = add64(t_ntt, const64(fix))  # in [0, 2qi)
-                t_ntt = jnp_ntt.fwd_ntt(t_ntt, plans[qi], 4, 4)
+                t_ntt = ntt_impl.fwd_ntt(t_ntt, plans[qi], 4, 4)
                 # (ct mod qi) - (ct mod qk), lazily in [0, 8qi)
                 t_ith = sub64(add64(t_poly_prod[k][i], const64(4 * qi)),
                               t_ntt)
@@ -149,8 +153,10 @@ def key_switch(result, t_target, n: int, decomp_modulus_size: int,
     t = to_limbs(np.asarray(t_target, dtype=np.uint64)) if host else t_target
     k = to_limbs(np.asarray(key_switch_keys, dtype=np.uint64)) \
         if not isinstance(key_switch_keys, U64) else key_switch_keys
+    plan0 = get_plan(n, moduli[0])
+    use_pallas = config.use_pallas() and plan0.rows is not None
     fn = _jitted_key_switch(n, decomp_modulus_size, key_modulus_size,
                             rns_modulus_size, key_component_count, moduli,
-                            modswitch_factors)
+                            modswitch_factors, use_pallas)
     out = fn(r, t, k)
     return from_limbs(out) if host else out
