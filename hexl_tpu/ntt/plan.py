@@ -221,3 +221,89 @@ def get_plan(degree: int, modulus: int) -> NttPlan:
 def clear_plan_cache() -> None:
     with _CACHE_LOCK:
         _PLAN_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# On-disk plan serialization — the checkpoint/resume analogue (SURVEY.md §5:
+# the reference's only persistent state is the memoized NTT cache; here the
+# host twiddle tables can be saved and restored so cold starts skip the
+# O(N log q) root/precondition computation).
+# ---------------------------------------------------------------------------
+
+def save_plan_cache(path: str) -> int:
+    """Serialize every cached plan's host tables to `path` (.npz).
+
+    Returns the number of plans saved. Device tables are rebuilt on load.
+    """
+    import numpy as _np
+    with _CACHE_LOCK:
+        items = list(_PLAN_CACHE.items())
+    arrays = {}
+    for (n, q), plan in items:
+        key = f"{n}_{q}"
+        arrays[f"rop_{key}"] = plan.rop
+        arrays[f"irop_{key}"] = plan.irop
+        arrays[f"prop_{key}"] = plan.prop
+        arrays[f"pirop_{key}"] = plan.pirop
+        arrays[f"root_{key}"] = _np.uint64(plan.root)
+    _np.savez_compressed(path, **arrays)
+    return len(items)
+
+
+def load_plan_cache(path: str) -> int:
+    """Restore plans saved by save_plan_cache; returns the number loaded.
+
+    Loaded tables are verified against check_arguments-level invariants
+    (sizes and the root) but trusted otherwise — treat the file like any
+    other precomputed key material.
+    """
+    import numpy as _np
+    data = _np.load(path)
+    keys = set()
+    for name in data.files:
+        if name.startswith("rop_"):
+            n_s, q_s = name[len("rop_"):].split("_")
+            keys.add((int(n_s), int(q_s)))
+    count = 0
+    for n, q in sorted(keys):
+        key = f"{n}_{q}"
+        rop = data[f"rop_{key}"]
+        irop = data[f"irop_{key}"]
+        prop = data[f"prop_{key}"]
+        pirop = data[f"pirop_{key}"]
+        root = int(data[f"root_{key}"])
+        if rop.shape != (n,) or irop.shape != (n,):
+            raise ValueError(f"corrupt plan tables for (N={n}, q={q})")
+        # Rebuild the plan from the stored tables without recomputing them.
+        plan = _plan_from_tables(n, q, root, rop, irop, prop, pirop)
+        with _CACHE_LOCK:
+            _PLAN_CACHE[(n, q)] = plan
+        count += 1
+    return count
+
+
+def _plan_from_tables(n, q, root, rop, irop, prop, pirop) -> NttPlan:
+    plan = NttPlan.__new__(NttPlan)
+    check_arguments(n, q)
+    plan.n = n
+    plan.q = q
+    plan.log_n = nt.log2_exact(n)
+    plan.root = root
+    plan.root_inv = nt.inverse_mod(root, q)
+    plan.rop, plan.irop, plan.prop, plan.pirop = rop, irop, prop, pirop
+    plan.inv_n = nt.inverse_mod(n, q)
+    plan.inv_n_precon = nt.barrett_factor(plan.inv_n, 64, q)
+    plan.inv_n_w = (plan.inv_n * int(irop[n - 1])) % q
+    plan.inv_n_w_precon = nt.barrett_factor(plan.inv_n_w, 64, q)
+    plan.rop_dev = to_limbs(rop)
+    plan.prop_dev = to_limbs(prop)
+    plan.irop_dev = to_limbs(irop)
+    plan.pirop_dev = to_limbs(pirop)
+    if n >= MIN_2D_N:
+        plan.rows = n // LANES
+        plan.lane_l = min(plan.rows, LANES)
+        plan.tiles = plan.rows // plan.lane_l
+        plan._build_2d_tables()
+    else:
+        plan.rows = None
+    return plan

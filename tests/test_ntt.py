@@ -205,3 +205,37 @@ def test_pallas_size_gate_falls_back(monkeypatch):
     gi = pallas_ntt.inv_ntt(got, plan, 1, 1)
     np.testing.assert_array_equal(from_limbs(gi),
                                   from_limbs(x))
+
+
+def test_plan_cache_save_load(tmp_path):
+    """Disk round-trip of the plan cache (checkpoint/resume analogue)."""
+    from hexl_tpu.ntt import plan as plan_mod
+
+    n = 2048
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    p1 = plan_mod.get_plan(n, q)
+    path = str(tmp_path / "plans.npz")
+    assert plan_mod.save_plan_cache(path) >= 1
+
+    plan_mod.clear_plan_cache()
+    assert plan_mod.load_plan_cache(path) >= 1
+    p2 = plan_mod.get_plan(n, q)
+    assert p2 is not p1
+    np.testing.assert_array_equal(p2.rop, p1.rop)
+    np.testing.assert_array_equal(p2.pirop, p1.pirop)
+    assert p2.root == p1.root and p2.inv_n_w == p1.inv_n_w
+
+    # The restored plan drives a correct transform.
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        np.asarray(ntt.inverse(ntt.forward(x))), x)
+
+
+def test_ntt_cost_model():
+    from hexl_tpu.utils.profiling import ntt_cost
+    c = ntt_cost(1 << 14, 60)
+    assert c["butterflies"] == (1 << 13) * 14
+    assert c["hbm_bytes_fused"] * 14 == c["hbm_bytes_staged"]
+    assert ntt_cost(1 << 14, 29)["mul32_total"] < c["mul32_total"]
