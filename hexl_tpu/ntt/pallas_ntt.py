@@ -304,8 +304,12 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
         raise ValueError("input_mod_factor must be 1, 2 or 4")
     if output_mod_factor not in (1, 4):
         raise ValueError("output_mod_factor must be 1 or 4")
-    if plan.rows is None or plan.n > PALLAS_MAX_N_FWD:
+    if plan.rows is None:
         return jnp_ntt.fwd_ntt(x, plan, input_mod_factor, output_mod_factor)
+    if plan.n > PALLAS_MAX_N_FWD:
+        from . import hier
+        return hier.fwd_ntt_hier(x, plan, input_mod_factor,
+                                 output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, True)
 
 
@@ -317,6 +321,10 @@ def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
         raise ValueError("input_mod_factor must be 1 or 2")
     if output_mod_factor not in (1, 2):
         raise ValueError("output_mod_factor must be 1 or 2")
-    if plan.rows is None or plan.n > PALLAS_MAX_N_INV:
+    if plan.rows is None:
         return jnp_ntt.inv_ntt(x, plan, input_mod_factor, output_mod_factor)
+    if plan.n > PALLAS_MAX_N_INV:
+        from . import hier
+        return hier.inv_ntt_hier(x, plan, input_mod_factor,
+                                 output_mod_factor)
     return _run(x, plan, input_mod_factor, output_mod_factor, False)
