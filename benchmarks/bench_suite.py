@@ -20,11 +20,16 @@ Usage:  python benchmarks/bench_suite.py [--out results.json] [--quick]
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# Persistent compilation cache: the suite compiles ~50 kernels.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hexl_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -176,6 +181,19 @@ def main():
             _chained(lambda x, y, q=q: ek.montgomery_mult_reduce(x, y, q),
                      (b,)), (a, ), iters))
 
+    # ---- Large-N NTTs (hierarchical two-kernel path) ----
+    if not args.quick:
+        for n, batch in ((1 << 16, 32), (1 << 17, 16)):
+            q = nt.generate_primes(1, 60, True, ntt_size=n)[0]
+            plan = get_plan(n, q)
+            x = rand_u64(batch, n, q)
+            for name, op in (
+                ("fwd_ntt", lambda v, p=plan: ntt_impl.fwd_ntt(v, p, 1, 1)),
+                ("inv_ntt", lambda v, p=plan: ntt_impl.inv_ntt(v, p, 1, 1)),
+            ):
+                record(name, n, 60, batch,
+                       _time_dispatch(_chained(op), (x,), iters))
+
     # ---- Composite: fused poly-mult pipeline ----
     if not args.quick:
         from hexl_tpu import poly
@@ -187,6 +205,32 @@ def main():
         a, b = rand_u64(batch, n, q), rand_u64(batch, n, q)
         record("poly_mult_pipeline", n, q_bits, batch, _time_dispatch(
             _chained(lambda x, y: impl(x, y, plan), (b,)), (a,), iters))
+
+        # North-star shape (BASELINE.md): RNS poly-mult, N=2^17 x 16
+        # primes, on this chip (multi-chip via parallel.dist_rns_poly_mult
+        # needs a pod). One fused chain per prime inside one jit.
+        n, batch = 1 << 17, 1
+        primes = nt.generate_primes(4, 50, True, ntt_size=n)
+        plans = [get_plan(n, int(p)) for p in primes]
+        pimpl = (poly._poly_mult_staged if config.use_pallas()
+                 else poly._poly_mult_xla)
+
+        def rns_chain(av, bv):
+            outs_hi, outs_lo = [], []
+            for i, p in enumerate(plans):
+                ai = type(av)(av.hi[i], av.lo[i])
+                bi = type(bv)(bv.hi[i], bv.lo[i])
+                o = pimpl(ai, bi, p)
+                outs_hi.append(o.hi)
+                outs_lo.append(o.lo)
+            import jax.numpy as _jnp
+            return type(av)(_jnp.stack(outs_hi), _jnp.stack(outs_lo))
+
+        a = rand_u64(4, n, min(int(p) for p in primes))
+        b = rand_u64(4, n, min(int(p) for p in primes))
+        record("rns_poly_mult_4x", n, 50, 4, _time_dispatch(
+            _chained(lambda x, y: rns_chain(x, y), (b,)), (a,),
+            max(1, iters // 2)))
 
     print(f"\nplatform={jax.default_backend()}  "
           f"pallas={config.use_pallas()}  chain={CHAIN}  rows={len(rows)}")

@@ -8,9 +8,11 @@ FFT, the inverse is (scalar/N) x unnormalized inverse, so the pair
 round-trips.
 
 Precision note: tables are built in float64 on the host; the transform runs
-in complex128 on CPU and complex64 on TPU (no native f64 datapath; the
-reference's tolerance-based CheckClose testing model applies —
-test-fft-like.cpp). A double-float (2x f32) path is a planned upgrade.
+in complex128 where x64 is available and in double-float (2x f32 planes,
+~48 mantissa bits — hexl_tpu.experimental.df32) on TPU, which has no
+native f64 vector datapath. The reference's tolerance-based CheckClose
+testing model applies (test-fft-like.cpp). precision="single" selects the
+fast complex64 path.
 """
 
 from __future__ import annotations
@@ -78,10 +80,100 @@ def _stage_loop_inv(x, table, n, scalar):
     return x
 
 
-class FFTLike:
-    """Complex FFT-variant engine for degree-n vectors (n a power of 2)."""
+def _df_reshape(x, shape):
+    from .df32 import CDF, DF
+    return CDF(DF(x.re.hi.reshape(shape), x.re.lo.reshape(shape)),
+               DF(x.im.hi.reshape(shape), x.im.lo.reshape(shape)))
 
-    def __init__(self, degree: int, scalar: float | None = None):
+
+def _df_index(x, idx):
+    from .df32 import CDF, DF
+    return CDF(DF(x.re.hi[idx], x.re.lo[idx]),
+               DF(x.im.hi[idx], x.im.lo[idx]))
+
+
+def _df_concat(parts, axis):
+    from .df32 import CDF, DF
+
+    def cat(sel):
+        return jnp.concatenate([sel(p) for p in parts], axis=axis)
+
+    return CDF(DF(cat(lambda p: p.re.hi), cat(lambda p: p.re.lo)),
+               DF(cat(lambda p: p.im.hi), cat(lambda p: p.im.lo)))
+
+
+def _stage_loop_fwd_df(x, table, n, scalar):
+    """Forward stages on complex double-float planes (TPU f64 surrogate)."""
+    from . import df32 as D
+    m = 1
+    gap = n >> 1
+    while m < n:
+        shp = x.re.hi.shape
+        v = _df_reshape(x, shp[:-1] + (m, 2, gap))
+        xs = _df_index(v, (Ellipsis, slice(None), 0, slice(None)))
+        ys = _df_index(v, (Ellipsis, slice(None), 1, slice(None)))
+        w = _df_index(table, (slice(m, 2 * m), None))
+        if gap == 1 and scalar is not None:
+            w = D.cdf_scale(w, scalar)
+            xs = D.cdf_scale(xs, scalar)
+        t = D.cdf_mul(ys, w)
+        hi = _df_concat([D.cdf_add(xs, t), D.cdf_sub(xs, t)], -2)
+        x = _df_reshape(_restack(hi, m, gap), shp)
+        m <<= 1
+        gap >>= 1
+    return x
+
+
+def _restack(pair_cat, m, gap):
+    """(…, 2m, gap) with halves [X..., Y...] -> interleaved (m, 2, gap)."""
+    from .df32 import CDF, DF
+
+    def rs(p):
+        s = p.shape
+        v = p.reshape(s[:-2] + (2, m, gap))
+        return jnp.swapaxes(v, -3, -2)
+
+    return CDF(DF(rs(pair_cat.re.hi), rs(pair_cat.re.lo)),
+               DF(rs(pair_cat.im.hi), rs(pair_cat.im.lo)))
+
+
+def _stage_loop_inv_df(x, table, n, scalar):
+    from . import df32 as D
+    root_index = 1
+    gap = 1
+    m = n >> 1
+    stop = 0 if scalar is None else 1
+    while m > stop:
+        shp = x.re.hi.shape
+        v = _df_reshape(x, shp[:-1] + (m, 2, gap))
+        xs = _df_index(v, (Ellipsis, slice(None), 0, slice(None)))
+        ys = _df_index(v, (Ellipsis, slice(None), 1, slice(None)))
+        w = _df_index(table, (slice(root_index, root_index + m), None))
+        root_index += m
+        hi = _df_concat([D.cdf_add(xs, ys),
+                         D.cdf_mul(D.cdf_sub(xs, ys), w)], -2)
+        x = _df_reshape(_restack(hi, m, gap), shp)
+        m >>= 1
+        gap <<= 1
+    if stop == 1:
+        half = n >> 1
+        xs = _df_index(x, (Ellipsis, slice(0, half)))
+        ys = _df_index(x, (Ellipsis, slice(half, n)))
+        w = D.cdf_scale(_df_index(table, (root_index,)), scalar)
+        x = _df_concat([D.cdf_scale(D.cdf_add(xs, ys), scalar),
+                        D.cdf_mul(D.cdf_sub(xs, ys), w)], -1)
+    return x
+
+
+class FFTLike:
+    """Complex FFT-variant engine for degree-n vectors (n a power of 2).
+
+    precision: "auto" (complex128 where x64 is available, double-float
+    2xf32 planes on TPU), "single" (complex64), or "double_float".
+    """
+
+    def __init__(self, degree: int, scalar: float | None = None,
+                 precision: str = "auto"):
         if not nt.is_power_of_two(degree):
             raise ValueError("degree must be a power of two")
         if degree <= 8:
@@ -92,30 +184,59 @@ class FFTLike:
         self.inv_scale = 1.0 / scalar if scalar is not None else None
         fwd, inv = _build_tables(degree)
         x64 = bool(jax.config.jax_enable_x64)
-        self._ctype = (jnp.complex128
-                       if x64 and config.default_backend() != "tpu"
+        if precision == "auto":
+            if x64 and config.default_backend() != "tpu":
+                precision = "f64"
+            else:
+                precision = "double_float"
+        self.precision = precision
+        if precision == "double_float":
+            from .df32 import cdf_from_complex128, df_from_f64
+            self.fwd_table = cdf_from_complex128(fwd)
+            self.inv_table = cdf_from_complex128(inv)
+            self._scale_df = (df_from_f64(np.float64(self.scale))
+                              if self.scale is not None else None)
+            self._inv_scale_df = (df_from_f64(np.float64(self.inv_scale))
+                                  if self.inv_scale is not None else None)
+            self._ctype = None
+            return
+        self._ctype = (jnp.complex128 if precision == "f64"
                        else jnp.complex64)
         self.fwd_table = jnp.asarray(fwd, dtype=self._ctype)
         self.inv_table = jnp.asarray(inv, dtype=self._ctype)
 
     @functools.cached_property
     def _fwd_jit(self):
-        n, scal = self.n, self.inv_scale
+        n = self.n
         table = self.fwd_table
+        if self.precision == "double_float":
+            scal = self._inv_scale_df
+            return jax.jit(lambda x: _stage_loop_fwd_df(x, table, n, scal))
+        scal = self.inv_scale
         return jax.jit(lambda x: _stage_loop_fwd(x, table, n, scal))
 
     @functools.cached_property
     def _inv_jit(self):
-        n, scal = self.n, self.scale
+        n = self.n
         table = self.inv_table
+        if self.precision == "double_float":
+            scal = self._scale_df
+            return jax.jit(lambda x: _stage_loop_inv_df(x, table, n, scal))
+        scal = self.scale
         return jax.jit(lambda x: _stage_loop_inv(x, table, n, scal))
 
     def forward(self, x):
         """Forward transform to bit-reversed order; x shape (..., n)."""
+        if self.precision == "double_float":
+            from .df32 import cdf_from_complex128, cdf_to_complex128
+            return cdf_to_complex128(self._fwd_jit(cdf_from_complex128(x)))
         return self._fwd_jit(jnp.asarray(x, dtype=self._ctype))
 
     def inverse(self, x):
         """Inverse transform from bit-reversed order; x shape (..., n)."""
+        if self.precision == "double_float":
+            from .df32 import cdf_from_complex128, cdf_to_complex128
+            return cdf_to_complex128(self._inv_jit(cdf_from_complex128(x)))
         return self._inv_jit(jnp.asarray(x, dtype=self._ctype))
 
     def build_floating_points(self, plain, threshold, decryption_modulus,

@@ -219,3 +219,39 @@ def test_key_switch():
     exp = _key_switch_oracle(result, t_target, n, ds, kms, rns, kc,
                              moduli, keys, msf)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_fft_like_double_float_precision():
+    """The 2xf32 double-float path matches the f64 transform to ~1e-13
+    relative — the TPU surrogate for the reference's complex<double>."""
+    from hexl_tpu.experimental.fft_like import FFTLike
+    n = 512
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    f_ref = np.asarray(FFTLike(n, precision="f64").forward(x))
+    f_df = FFTLike(n, precision="double_float").forward(x)
+    rel = np.max(np.abs(f_df - f_ref)) / np.max(np.abs(f_ref))
+    assert rel < 1e-12, rel
+
+    # Encode/decode roundtrip with a CKKS-style scale.
+    fft = FFTLike(n, 2.0 ** 40, precision="double_float")
+    dec = fft.forward(fft.inverse(x))
+    rel = np.max(np.abs(dec - x)) / np.max(np.abs(x))
+    assert rel < 1e-12, rel
+
+
+def test_df32_primitives():
+    from hexl_tpu.experimental import df32 as D
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=256) * 1e3
+    b = rng.normal(size=256)
+    da, db = D.df_from_f64(a), D.df_from_f64(b)
+    np.testing.assert_allclose(D.df_to_f64(D.df_add(da, db)), a + b,
+                               rtol=1e-14)
+    np.testing.assert_allclose(D.df_to_f64(D.df_mul(da, db)), a * b,
+                               rtol=1e-13)
+    ca = D.cdf_from_complex128(a + 1j * b)
+    cb = D.cdf_from_complex128(b - 1j * a)
+    np.testing.assert_allclose(
+        D.cdf_to_complex128(D.cdf_mul(ca, cb)),
+        (a + 1j * b) * (b - 1j * a), rtol=1e-12)
