@@ -33,9 +33,12 @@ def _use_32bit(plan) -> bool:
     return plan.rows is not None and getattr(plan, "bit_shift", 64) == 32
 
 
-@functools.lru_cache(maxsize=None)
 def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
-    plan = get_plan(n, q)
+    return _jitted_fwd_for_plan(get_plan(n, q), imf, omf, use_pallas)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool):
     if _use_32bit(plan):
         from . import ntt32
         import jax.numpy as jnp
@@ -48,9 +51,12 @@ def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
     return jax.jit(lambda x: jnp_ntt.fwd_ntt(x, plan, imf, omf))
 
 
-@functools.lru_cache(maxsize=None)
 def _jitted_inv(n: int, q: int, imf: int, omf: int, use_pallas: bool):
-    plan = get_plan(n, q)
+    return _jitted_inv_for_plan(get_plan(n, q), imf, omf, use_pallas)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_inv_for_plan(plan, imf: int, omf: int, use_pallas: bool):
     if _use_32bit(plan):
         from . import ntt32
         import jax.numpy as jnp
@@ -66,8 +72,10 @@ def _jitted_inv(n: int, q: int, imf: int, omf: int, use_pallas: bool):
 class NTT:
     """Per-(N, q) transform engine; construction precomputes twiddles."""
 
-    def __init__(self, degree: int, modulus: int):
-        self.plan = get_plan(degree, modulus)
+    def __init__(self, degree: int, modulus: int, device=None):
+        """device: optional jax.Device/Sharding for the twiddle tables —
+        the allocator-injection analogue (NTT::AllocatorAdapter)."""
+        self.plan = get_plan(degree, modulus, device=device)
         self.degree = degree
         self.modulus = modulus
 
@@ -85,8 +93,8 @@ class NTT:
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
         use_pallas = config.use_pallas() and self.plan.rows is not None
-        fn = (_jitted_fwd if fwd else _jitted_inv)(
-            self.degree, self.modulus, imf, omf, use_pallas)
+        fn = (_jitted_fwd_for_plan if fwd else _jitted_inv_for_plan)(
+            self.plan, imf, omf, use_pallas)
         out = fn(x_l)
         return from_limbs(out) if host else out
 

@@ -122,9 +122,16 @@ def build_stage_lists(n: int, rop: np.ndarray, prop: np.ndarray,
 
 
 class NttPlan:
-    """Twiddle tables + derived constants for one (N, q) pair."""
+    """Twiddle tables + derived constants for one (N, q) pair.
 
-    def __init__(self, degree: int, modulus: int, root: int | None = None):
+    `device` optionally pins every device-side table to a specific
+    jax.Device or Sharding — the analogue of the reference's allocator
+    injection (NTT::AllocatorAdapter, hexl/include/hexl/ntt/ntt.hpp:25-84),
+    where callers controlled where the engine's tables live.
+    """
+
+    def __init__(self, degree: int, modulus: int, root: int | None = None,
+                 device=None):
         check_arguments(degree, modulus)
         self.n = degree
         self.q = modulus
@@ -167,6 +174,35 @@ class NttPlan:
             self._build_2d_tables()
         else:
             self.rows = None
+        if device is not None:
+            self._place_tables(device)
+
+    def _place_tables(self, device) -> None:
+        """device_put every device-side table onto `device`."""
+        import jax
+
+        def put(v):
+            return jax.device_put(v, device)
+
+        def put_u64(u: U64) -> U64:
+            return U64(put(u.hi), put(u.lo))
+
+        self.rop_dev = put_u64(self.rop_dev)
+        self.prop_dev = put_u64(self.prop_dev)
+        self.irop_dev = put_u64(self.irop_dev)
+        self.pirop_dev = put_u64(self.pirop_dev)
+        for name in ("fwd_a", "fwd_b", "inv_b", "inv_a"):
+            stages = getattr(self, name, None)
+            if stages is not None:
+                setattr(self, name,
+                        [(m, t, put_u64(w), put_u64(wp))
+                         for m, t, w, wp in stages])
+        for name in ("fwd_a32", "fwd_b32", "inv_b32", "inv_a32"):
+            stages = getattr(self, name, None)
+            if stages is not None:
+                setattr(self, name,
+                        [(m, t, put(w), put(wp))
+                         for m, t, w, wp in stages])
 
     # -- 2D table construction ------------------------------------------
 
@@ -206,14 +242,14 @@ _PLAN_CACHE: Dict[Tuple[int, int], NttPlan] = {}
 _CACHE_LOCK = threading.Lock()
 
 
-def get_plan(degree: int, modulus: int) -> NttPlan:
-    key = (degree, modulus)
+def get_plan(degree: int, modulus: int, device=None) -> NttPlan:
+    key = (degree, modulus, None if device is None else str(device))
     plan = _PLAN_CACHE.get(key)
     if plan is None:
         with _CACHE_LOCK:
             plan = _PLAN_CACHE.get(key)
             if plan is None:
-                plan = NttPlan(degree, modulus)
+                plan = NttPlan(degree, modulus, device=device)
                 _PLAN_CACHE[key] = plan
     return plan
 
@@ -239,7 +275,8 @@ def save_plan_cache(path: str) -> int:
     with _CACHE_LOCK:
         items = list(_PLAN_CACHE.items())
     arrays = {}
-    for (n, q), plan in items:
+    for cache_key, plan in items:
+        n, q = cache_key[0], cache_key[1]
         key = f"{n}_{q}"
         arrays[f"rop_{key}"] = plan.rop
         arrays[f"irop_{key}"] = plan.irop
@@ -277,7 +314,7 @@ def load_plan_cache(path: str) -> int:
         # Rebuild the plan from the stored tables without recomputing them.
         plan = _plan_from_tables(n, q, root, rop, irop, prop, pirop)
         with _CACHE_LOCK:
-            _PLAN_CACHE[(n, q)] = plan
+            _PLAN_CACHE[(n, q, None)] = plan
         count += 1
     return count
 

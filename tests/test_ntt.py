@@ -239,3 +239,21 @@ def test_ntt_cost_model():
     assert c["butterflies"] == (1 << 13) * 14
     assert c["hbm_bytes_fused"] * 14 == c["hbm_bytes_staged"]
     assert ntt_cost(1 << 14, 29)["mul32_total"] < c["mul32_total"]
+
+
+def test_plan_device_placement():
+    """NTT(device=...) pins twiddle tables to a chosen device (the
+    allocator-injection analogue)."""
+    import jax
+    devs = jax.devices()
+    target = devs[-1]
+    ntt = NTT(2048, nt.generate_primes(1, 45, True, ntt_size=2048)[0],
+              device=target)
+    m, t, w, wp = ntt.plan.fwd_a[0]
+    assert w.hi.devices() == {target}
+    assert ntt.plan.rop_dev.lo.devices() == {target}
+    # still transforms correctly
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, ntt.modulus, size=2048, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        np.asarray(ntt.inverse(ntt.forward(x))), x)
