@@ -104,7 +104,12 @@ def _stack(per_dev, idx) -> List:
 def get_hier(plan: NttPlan) -> HierTables:
     h = getattr(plan, "_hier", None)
     if h is None:
-        h = HierTables(plan)
+        # get_hier is reached from inside jit traces (fwd_ntt_hier runs
+        # under the caller's jit); the tables are pure host precompute and
+        # are cached on the plan, so they MUST be concrete arrays — built
+        # under ensure_compile_time_eval so no tracer leaks across traces.
+        with jax.ensure_compile_time_eval():
+            h = HierTables(plan)
         plan._hier = h
     return h
 
