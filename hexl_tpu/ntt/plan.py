@@ -249,7 +249,12 @@ def get_plan(degree: int, modulus: int, device=None) -> NttPlan:
         with _CACHE_LOCK:
             plan = _PLAN_CACHE.get(key)
             if plan is None:
-                plan = NttPlan(degree, modulus, device=device)
+                # Plans are cached across jit traces, so their device
+                # tables must be concrete even if a caller builds one
+                # inside a traced function (tracer-leak hardening).
+                import jax
+                with jax.ensure_compile_time_eval():
+                    plan = NttPlan(degree, modulus, device=device)
                 _PLAN_CACHE[key] = plan
     return plan
 
