@@ -51,3 +51,10 @@ def use_pallas() -> bool:
     if pallas_disabled():
         return False
     return default_backend() == "tpu"
+
+
+def force_pallas_eltwise() -> bool:
+    """Opt-in to the generic Pallas element-wise runner for standalone
+    public eltwise ops (XLA fusion is faster for one-shot ops; see
+    eltwise/ops.py)."""
+    return _env_flag("HEXL_TPU_FORCE_PALLAS_ELTWISE")

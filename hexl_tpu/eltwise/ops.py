@@ -27,7 +27,13 @@ from . import pallas_kernels as P
 
 
 def _run(body, ins):
-    if config.use_pallas():
+    # Measured on v5e: XLA's own fusion beats the generic Pallas runner
+    # for standalone element-wise ops (e.g. mult_mod 1.17 vs 1.60 us/call
+    # at (1024, 8192) — the runner's flatten/pad adds copies), so the
+    # portable body is the default everywhere. HEXL_TPU_FORCE_PALLAS_ELTWISE
+    # opts into the runner (useful for pipelines that chain many eltwise
+    # ops in one VMEM residency).
+    if config.use_pallas() and config.force_pallas_eltwise():
         return P.run_eltwise(body, ins)
     return body(*ins)
 
