@@ -115,6 +115,47 @@ def example_poly_mult_pipeline():
           f"({num_primes} primes x N={n})")
 
 
+def example_fft_like():
+    """CKKS-style encode/decode with the FFT-like transform."""
+    from hexl_tpu.experimental import FFTLike
+    n, scale = 1024, 2.0 ** 40
+    fft = FFTLike(n, scale)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    dec = np.asarray(fft.forward(np.asarray(fft.inverse(x))))
+    rel = np.max(np.abs(dec - x)) / np.max(np.abs(x))
+    assert rel < 1e-5, rel  # ~1e-15 on f64/double-float paths
+    print(f"Done running ExampleFFTLike (precision={fft.precision}, "
+          f"roundtrip rel err {rel:.1e})")
+
+
+def example_dyadic_multiply():
+    """BFV/CKKS ciphertext x ciphertext in NTT form over an RNS basis."""
+    from hexl_tpu.experimental import dyadic_multiply
+    n, M = 1024, 2
+    moduli = nt.generate_primes(M, 40, True, ntt_size=n)
+    rng = np.random.default_rng(3)
+    x = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    y = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    out = dyadic_multiply(x, y, moduli)
+    assert out.shape == (3, M, n)
+    print("Done running ExampleDyadicMultiply")
+
+
+def example_large_degree():
+    """Hierarchical two-kernel path for degrees above the VMEM ceiling."""
+    n = 1 << 15
+    q = nt.generate_primes(1, 60, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    back = ntt.inverse(ntt.forward(x))
+    np.testing.assert_array_equal(np.asarray(back), x)
+    print(f"Done running ExampleLargeDegree (N=2^15)")
+
+
 if __name__ == "__main__":
     example_add_mod()
     example_add_mod_scalar()
@@ -126,4 +167,7 @@ if __name__ == "__main__":
     example_reduce_mod()
     example_ntt()
     example_poly_mult_pipeline()
+    example_fft_like()
+    example_dyadic_multiply()
+    example_large_degree()
     print("All examples passed.")

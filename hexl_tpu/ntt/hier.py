@@ -121,9 +121,11 @@ def get_hier(plan: NttPlan) -> HierTables:
 # ---------------------------------------------------------------------------
 
 def _cross_chunk(d: int, local_rows: int) -> int:
-    """Local-offset rows per cross-kernel block: keep D*chunk*LANES around
-    16K elements so the unrolled stage temporaries stay ~2-3 MB."""
-    return min(local_rows, max(1, 128 // d))
+    """Local-offset rows per cross-kernel block: keep D*chunk*LANES small
+    so the unrolled stage temporaries stay a few MB, but the sublane
+    (second-minor) block dim must be a multiple of 8 (Mosaic tiling
+    rule)."""
+    return min(local_rows, max(8, 128 // d))
 
 
 def _cross_call(x: U64, plan: NttPlan, h: HierTables, forward: bool,
