@@ -30,7 +30,7 @@ def main():
 
     n = 1 << 14
     q_bits = 60
-    batch = 128
+    batch = 256
     q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
     ntt = NTT(n, q)  # build plan
     use_pallas = config.use_pallas()
@@ -51,7 +51,7 @@ def main():
     # ~30% of the measurement. Each scan step's output feeds the next
     # step's input (inv output range [0,q) is a valid fwd input), so steps
     # are truly serialized on device.
-    chain = 16
+    chain = 32
     chained = _jax.jit(lambda v: _jax.lax.scan(
         lambda c, _: (pair(c), None), v, None, length=chain)[0])
 

@@ -27,12 +27,10 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..limb import U64, add64, cond_sub64, const64, reduce_mod_lazy64, \
-    sub64, to_limbs
+from ..limb import U64, cond_sub64, const64, to_limbs
 from . import jnp_ntt
 from .jnp_ntt import _final_inv_stage, _split2
 from .plan import LANES, NttPlan, build_stage_lists
@@ -135,7 +133,6 @@ def _cross_call(x: U64, plan: NttPlan, h: HierTables, forward: bool,
     batch = 1
     for dd in shape[:-1]:
         batch *= dd
-    rows_all = n // LANES
     local_rows = h.local_rows
     x3 = U64(x.hi.reshape(batch, h.d, local_rows, LANES),
              x.lo.reshape(batch, h.d, local_rows, LANES))

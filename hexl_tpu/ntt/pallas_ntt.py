@@ -18,8 +18,7 @@ replacing the cross-lane permute loads (ntt-avx512-util.hpp).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
