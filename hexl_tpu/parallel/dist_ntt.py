@@ -183,9 +183,92 @@ class DistNTT:
                 jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
         return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
+    # -- fused Pallas local transforms (TPU path) ---------------------------
+    #
+    # Inside shard_map each device runs an independent local sub-transform;
+    # on TPU it goes through the same fused kernel body as the single-chip
+    # engine, with this shard's stage tables passed as (traced) kernel
+    # operands instead of host constants. CPU meshes (tests, dryrun) use
+    # the jnp bodies below. Gated by backend + the fused-kernel geometry
+    # constraints (local_rows >= 8 sublanes, local_n <= VMEM ceiling).
+
+    @property
+    def _pallas_local_ok(self) -> bool:
+        from .. import config
+        return (config.use_pallas() and self.local_rows >= 8
+                and self.local_n <= (1 << 15))
+
+    def _pallas_local(self, x: U64, s0, s1, forward: bool,
+                      omf: int) -> U64:
+        import types
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..ntt import hier as H
+        from ..ntt import pallas_ntt as PN
+
+        shape = x.lo.shape
+        rows = self.local_rows
+        batch = 1
+        for d in shape[:-1]:
+            batch *= d
+        x3 = U64(x.hi.reshape(batch, rows, LANES),
+                 x.lo.reshape(batch, rows, LANES))
+
+        geom = types.SimpleNamespace(q=self.q, rows=rows,
+                                     tiles=self.tiles, lane_l=self.lane_l)
+        metas = []
+        tw_planes = []
+        for m, t, w, wp in list(s0) + list(s1):
+            metas.append((m, t))
+            for p in (w.hi, w.lo, wp.hi, wp.lo):
+                tw_planes.append(p.reshape(p.shape + (1,))
+                                 if p.ndim == 1 else p)
+        n0 = len(s0)
+
+        def kernel(*refs):
+            xv = U64(refs[0][...], refs[1][...])
+            loaded = []
+            i = 2
+            for m, t in metas:
+                loaded.append((m, t,
+                               U64(refs[i][...], refs[i + 1][...]),
+                               U64(refs[i + 2][...], refs[i + 3][...])))
+                i += 4
+            if forward:
+                out = PN._fwd_body(xv, geom, loaded[:n0], loaded[n0:], omf)
+            else:
+                # Local inverse WITHOUT the global final stage (it runs in
+                # the cross phase) — the hier local body.
+                out = H._local_inv_body(xv, geom, loaded[:n0], loaded[n0:])
+            refs[i][...] = out.hi
+            refs[i + 1][...] = out.lo
+
+        x_spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        tw_specs = [
+            pl.BlockSpec(p.shape, (lambda *_, nd=p.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for p in tw_planes
+        ]
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            grid=(batch,),
+            in_specs=[x_spec, x_spec] + tw_specs,
+            out_specs=(x_spec, x_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
+            ),
+        )(x3.hi, x3.lo, *tw_planes)
+        return U64(out_hi.reshape(shape), out_lo.reshape(shape))
+
     def _local_fwd_body(self, x: U64, stages_a, stages_b, omf: int,
                         q: U64, two_q: U64) -> U64:
         """Local sub-transform (strides local_n/2 .. 1) on this shard."""
+        if self._pallas_local_ok:
+            return self._pallas_local(x, stages_a, stages_b, True, omf)
         shape = x.lo.shape
         rows = self.local_rows
         x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
@@ -214,6 +297,8 @@ class DistNTT:
 
     def _local_inv_body(self, x: U64, stages_b, stages_a,
                         q: U64, two_q: U64) -> U64:
+        if self._pallas_local_ok:
+            return self._pallas_local(x, stages_b, stages_a, False, 2)
         shape = x.lo.shape
         rows = self.local_rows
         x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
@@ -281,6 +366,7 @@ class DistNTT:
             body, mesh=mesh,
             in_specs=(x_spec, x_spec) + tuple(table_specs),
             out_specs=(x_spec, x_spec),
+            check_vma=False,
         )
         jitted = jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
         return jitted
@@ -321,6 +407,7 @@ class DistNTT:
             body, mesh=mesh,
             in_specs=(x_spec, x_spec) + tuple(table_specs),
             out_specs=(x_spec, x_spec),
+            check_vma=False,
         )
         return jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
 
@@ -374,6 +461,7 @@ class DistNTT:
             body, mesh=mesh,
             in_specs=(x_spec,) * 4 + tuple(table_specs),
             out_specs=(x_spec, x_spec),
+            check_vma=False,
         )
         return jax.jit(lambda ah, al, bh, bl: fn(ah, al, bh, bl,
                                                  *table_planes))

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Run the test suite against real TPU hardware, one process per test file.
+#
+# The attached TPU backend (axon tunnel) starts failing every dispatch
+# with UNIMPLEMENTED after a few hundred distinct kernel compiles in one
+# process; per-file processes stay well under that. Per-file runs are
+# fully green (verified 2026-08-16); a single-process run of the whole
+# suite shows mass spurious UNIMPLEMENTED failures.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+fail=0
+for f in tests/test_*.py; do
+  echo "=== $f ==="
+  HEXL_TPU_TEST_PLATFORM=tpu timeout 1200 python -m pytest "$f" -q || fail=1
+done
+exit $fail

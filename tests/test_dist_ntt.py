@@ -107,3 +107,41 @@ def test_dist_rns_poly_mult():
         exp = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fb, q, 4), q,
                                  plan_irop, pirop, 1, 1)
         np.testing.assert_array_equal(got[i], exp)
+
+
+def test_dist_pallas_local_matches_oracle(monkeypatch):
+    """The fused-Pallas local-transform path inside shard_map (the real
+    TPU configuration) — run in interpret mode on the CPU mesh."""
+    import functools
+    from jax.experimental import pallas as pl
+
+    from hexl_tpu import config
+
+    _require_devices(4)
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call,
+                                             interpret=True))
+    monkeypatch.setattr(config, "use_pallas", lambda: True)
+    n = 1 << 13
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    mesh = make_mesh(4, 1)
+    dntt = DistNTT(n, q, mesh)
+    assert dntt._pallas_local_ok
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    # The Pallas butterflies use approximate-mulhi (reference AVX512-64
+    # semantics): lazy outputs agree mod q within range, not bit-for-bit
+    # — the reference's own AVX512 testing model (reduce % q, check the
+    # range; test-ntt-avx512.cpp:377-387).
+    got = np.asarray(dntt.forward(x, 1, 4))
+    exp = ref.fwd_ntt_radix2(x, q, dntt.plan.rop, dntt.plan.prop, 1, 4)
+    np.testing.assert_array_equal(got % np.uint64(q), exp % np.uint64(q))
+    assert got.max() < 4 * q
+    back = dntt.inverse(got % np.uint64(q), 1, 1)
+    np.testing.assert_array_equal(np.asarray(back), x)
+    # Fully-reduced outputs are exact.
+    c = dntt.poly_mult(x, x)
+    fa = ref.fwd_ntt_radix2(x, q, dntt.plan.rop, dntt.plan.prop, 1, 4)
+    expc = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fa, q, 4), q,
+                              dntt.plan.irop, dntt.plan.pirop, 1, 1)
+    np.testing.assert_array_equal(np.asarray(c), expc)
