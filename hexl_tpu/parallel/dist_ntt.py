@@ -133,6 +133,8 @@ class DistNTT:
     def _cross_fwd_body(self, x: U64, q: U64, two_q: U64) -> U64:
         """Device-axis butterflies on the (D, local_n/D) regrouped block."""
         d = self.d
+        if d == 1:
+            return x  # no cross stages on a single-shard coeff axis
         # x local shape (..., local_n); regroup to (D, local_n/D) chunks and
         # transpose so the device axis is resident.
         lc = self.local_n // d
@@ -158,6 +160,17 @@ class DistNTT:
 
     def _cross_inv_body(self, x: U64, q: U64, two_q: U64) -> U64:
         d = self.d
+        p = self.plan
+        if d == 1:
+            # Single-shard coeff axis: only the final fused stage remains,
+            # pairing halves of the local vector.
+            xs, ys, join = _split2(x, x.lo.ndim - 1, 1, self.n // 2)
+            tx = cond_sub64(add64(xs, ys), two_q)
+            ty = sub64(add64(xs, two_q), ys)
+            nx = _shoup(tx, const64(p.inv_n), const64(p.inv_n_precon), q)
+            ny = _shoup(ty, const64(p.inv_n_w), const64(p.inv_n_w_precon),
+                        q)
+            return join(nx, ny)
         lc = self.local_n // d
         shape = x.lo.shape
         x = U64(x.hi.reshape(shape[:-1] + (d, lc)),

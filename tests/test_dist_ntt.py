@@ -145,3 +145,19 @@ def test_dist_pallas_local_matches_oracle(monkeypatch):
     expc = ref.inv_ntt_radix2(ref.eltwise_mult_mod(fa, fa, q, 4), q,
                               dntt.plan.irop, dntt.plan.pirop, 1, 1)
     np.testing.assert_array_equal(np.asarray(c), expc)
+
+
+def test_dist_single_shard_coeff_axis():
+    """d=1 coeff mesh (e.g. one real chip): no cross stages, the final
+    fused stage runs over local halves."""
+    n = 1 << 13
+    q = nt.generate_primes(1, 45, True, ntt_size=n)[0]
+    mesh = make_mesh(1, 1)
+    dntt = DistNTT(n, q, mesh)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    got = dntt.forward(x, 1, 1)
+    exp = ref.fwd_ntt_radix2(x, q, dntt.plan.rop, dntt.plan.prop, 1, 1)
+    np.testing.assert_array_equal(np.asarray(got), exp)
+    back = dntt.inverse(got, 1, 1)
+    np.testing.assert_array_equal(np.asarray(back), x)
