@@ -237,7 +237,11 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
 
     # The functional body is ~9% faster (no scratch copies) but keeps all
     # stage temporaries live; it fits the scoped-vmem limit up to 2^15.
-    # Above that the writeback body is the only one that compiles.
+    # Above that the writeback body is the only one that compiles. (With
+    # the current gates only the forward reaches use_refs — the inverse
+    # routes to the hierarchical path above 2^15 — but the inverse
+    # writeback body is kept so the INV ceiling can be raised
+    # independently.)
     use_refs = n > (1 << 15)
 
     def kernel(*refs):
