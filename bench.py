@@ -25,7 +25,7 @@ def main():
 
     from hexl_tpu import nt
     from hexl_tpu.limb import to_limbs
-    from hexl_tpu.ntt import NTT, _jitted_fwd, _jitted_inv
+    from hexl_tpu.ntt import NTT
     from hexl_tpu import config
 
     n = 1 << 14

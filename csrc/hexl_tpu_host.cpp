@@ -70,7 +70,7 @@ int64_t ht_generate_primes(int64_t num, int64_t bit_size,
   uint64_t candidate =
       prefer_small ? lower : upper - (upper % step) + 1;
   int64_t found = 0;
-  while (prefer_small ? (candidate < upper) : (candidate > lower)) {
+  while (prefer_small ? (candidate <= upper) : (candidate >= lower)) {
     if (ht_is_prime(candidate)) {
       out[found++] = candidate;
       if (found == num) return found;

@@ -44,12 +44,12 @@ def _as_u64_operand(b: ScalarOrU64) -> U64:
     return const64(int(b))
 
 
-def compare(cmp: str, a: U64, bound: int):
+def compare(cmp: str, a: U64, bound: ScalarOrU64):
     try:
         fn = _CMP_FNS[cmp]
     except KeyError:
         raise ValueError(f"unknown cmp {cmp!r}") from None
-    return fn(a, const64(bound))
+    return fn(a, _as_u64_operand(bound))
 
 
 def add_mod(a: U64, b: ScalarOrU64, modulus: int) -> U64:
@@ -84,8 +84,17 @@ def fma_mod(arg1: U64, arg2: int, arg3: Optional[U64], modulus: int,
         raise ValueError("input_mod_factor must be 1, 2, 4 or 8")
     a2 = nt.reduce_mod(int(arg2), modulus, input_mod_factor)
     a2_precon = nt.barrett_factor(a2, 64, modulus)
+    return fma_mod_preconned(arg1, const64(a2), const64(a2_precon), arg3,
+                             modulus, input_mod_factor)
+
+
+def fma_mod_preconned(arg1: U64, w: U64, wp: U64, arg3: Optional[U64],
+                      modulus: int, input_mod_factor: int = 1) -> U64:
+    """fma_mod with the scalar already reduced and Shoup-preconditioned
+    (w = arg2 mod q, wp = floor(w << 64 / q)) — lets dispatchers pass the
+    scalar as a traced operand so one compile serves every scalar value."""
     x = reduce_mod_lazy64(arg1, modulus, input_mod_factor)
-    prod = shoup_mul_lazy(x, const64(a2), const64(a2_precon), modulus)
+    prod = shoup_mul_lazy(x, w, wp, modulus)
     prod = cond_sub64(prod, const64(modulus))
     if arg3 is None:
         return prod
@@ -113,13 +122,15 @@ def reduce_mod(a: U64, modulus: int, input_mod_factor: int,
     raise ValueError("input_mod_factor must be 2, 4, or == modulus")
 
 
-def cmp_add(a: U64, cmp: str, bound: int, diff: int) -> U64:
+def cmp_add(a: U64, cmp: str, bound: ScalarOrU64,
+            diff: ScalarOrU64) -> U64:
     """result = cmp(a, bound) ? a + diff : a (wrapping, no reduction)."""
     mask = compare(cmp, a, bound)
-    return select64(mask, add64(a, const64(diff)), a)
+    return select64(mask, add64(a, _as_u64_operand(diff)), a)
 
 
-def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: int, diff: int) -> U64:
+def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: ScalarOrU64,
+                diff: ScalarOrU64) -> U64:
     """result = cmp(a, bound) ? (a mod q - diff) mod q : a mod q.
 
     Predicate evaluated on the unreduced input; diff < q.
@@ -127,8 +138,9 @@ def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: int, diff: int) -> U64:
     mask = compare(cmp, a, bound)
     q_barr = nt.barrett_factor(1, 64, modulus)
     red = barrett_reduce_u64(a, modulus, q_barr, 1)
-    sub = cond_sub64(add64(sub64(red, const64(diff)), const64(modulus)),
-                     const64(modulus))
+    sub = cond_sub64(
+        add64(sub64(red, _as_u64_operand(diff)), const64(modulus)),
+        const64(modulus))
     return select64(mask, sub, red)
 
 

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from .. import config
-from ..limb import U64, from_limbs, to_limbs
+from ..limb import U64, coerce_limbs, from_limbs, to_limbs
 from ..utils import check as _chk
 from ..utils.logging import vlog
 from . import jnp_kernels as K
@@ -46,40 +46,45 @@ def _jitted(op: str, *static):
         body = lambda a, b: K.add_mod(a, b, q)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "add_mod_vs":
-        q, s = static
-        body = lambda a: K.add_mod(a, s, q)
-        return jax.jit(lambda a: _run(body, (a,)))
+        # Scalar passed as a traced operand: one compile per (op, q), not
+        # per scalar value (unbounded-cache / recompile hazard otherwise).
+        (q,) = static
+        body = lambda a, s: K.add_mod(a, s, q)
+        return jax.jit(lambda a, s: _run(body, (a, s)))
     if op == "sub_mod_vv":
         (q,) = static
         body = lambda a, b: K.sub_mod(a, b, q)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "sub_mod_vs":
-        q, s = static
-        body = lambda a: K.sub_mod(a, s, q)
-        return jax.jit(lambda a: _run(body, (a,)))
+        (q,) = static
+        body = lambda a, s: K.sub_mod(a, s, q)
+        return jax.jit(lambda a, s: _run(body, (a, s)))
     if op == "mult_mod":
         q, imf = static
         body = lambda a, b: K.mult_mod(a, b, q, imf)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "fma_mod":
-        q, arg2, imf, has_arg3 = static
+        # The scalar and its Shoup precondition are traced operands
+        # (reduced/preconditioned host-side in eltwise_fma_mod).
+        q, imf, has_arg3 = static
         if has_arg3:
-            body = lambda a, c: K.fma_mod(a, arg2, c, q, imf)
-            return jax.jit(lambda a, c: _run(body, (a, c)))
-        body = lambda a: K.fma_mod(a, arg2, None, q, imf)
-        return jax.jit(lambda a: _run(body, (a,)))
+            body = lambda a, w, wp, c: K.fma_mod_preconned(
+                a, w, wp, c, q, imf)
+            return jax.jit(lambda a, w, wp, c: _run(body, (a, w, wp, c)))
+        body = lambda a, w, wp: K.fma_mod_preconned(a, w, wp, None, q, imf)
+        return jax.jit(lambda a, w, wp: _run(body, (a, w, wp)))
     if op == "reduce_mod":
         q, imf, omf = static
         body = lambda a: K.reduce_mod(a, q, imf, omf)
         return jax.jit(lambda a: _run(body, (a,)))
     if op == "cmp_add":
-        cmp, bound, diff = static
-        body = lambda a: K.cmp_add(a, cmp, bound, diff)
-        return jax.jit(lambda a: _run(body, (a,)))
+        (cmp,) = static
+        body = lambda a, bound, diff: K.cmp_add(a, cmp, bound, diff)
+        return jax.jit(lambda a, bound, diff: _run(body, (a, bound, diff)))
     if op == "cmp_sub_mod":
-        q, cmp, bound, diff = static
-        body = lambda a: K.cmp_sub_mod(a, q, cmp, bound, diff)
-        return jax.jit(lambda a: _run(body, (a,)))
+        q, cmp = static
+        body = lambda a, bound, diff: K.cmp_sub_mod(a, q, cmp, bound, diff)
+        return jax.jit(lambda a, bound, diff: _run(body, (a, bound, diff)))
     if op == "mont_form_in":
         (q,) = static
         body = lambda a: K.montgomery_form_in(a, q)
@@ -95,10 +100,12 @@ def _jitted(op: str, *static):
     raise ValueError(f"unknown op {op}")
 
 
-def _coerce(x):
-    if isinstance(x, U64):
-        return x, False
-    return to_limbs(np.asarray(x, dtype=np.uint64)), True
+def _scalar64(v) -> U64:
+    """Host scalar -> U64 of () uint32 arrays (a traced operand)."""
+    return to_limbs(np.uint64(int(v)))
+
+
+_coerce = coerce_limbs
 
 
 def _result(out: U64, was_host: bool):
@@ -115,7 +122,8 @@ def eltwise_add_mod(a, b, modulus: int):
     vlog(3, "eltwise_add_mod q=%d", modulus)
     a_l, host = _coerce(a)
     if np.isscalar(b) or isinstance(b, int):
-        return _result(_jitted("add_mod_vs", modulus, int(b))(a_l), host)
+        s_l = _scalar64(b)
+        return _result(_jitted("add_mod_vs", modulus)(a_l, s_l), host)
     b_l, _ = _coerce(b)
     return _result(_jitted("add_mod_vv", modulus)(a_l, b_l), host)
 
@@ -124,7 +132,8 @@ def eltwise_sub_mod(a, b, modulus: int):
     """result[i] = (a[i] - b[i]) mod q; b may be a scalar. Inputs < q."""
     a_l, host = _coerce(a)
     if np.isscalar(b) or isinstance(b, int):
-        return _result(_jitted("sub_mod_vs", modulus, int(b))(a_l), host)
+        s_l = _scalar64(b)
+        return _result(_jitted("sub_mod_vs", modulus)(a_l, s_l), host)
     b_l, _ = _coerce(b)
     return _result(_jitted("sub_mod_vv", modulus)(a_l, b_l), host)
 
@@ -150,13 +159,17 @@ def eltwise_mult_mod(a, b, modulus: int, input_mod_factor: int = 1):
 def eltwise_fma_mod(arg1, arg2: int, arg3, modulus: int,
                     input_mod_factor: int = 1):
     """result[i] = (arg1[i] * arg2 + arg3[i]) mod q; arg3 may be None."""
+    from .. import nt as _nt
     a_l, host = _coerce(arg1)
+    a2 = _nt.reduce_mod(int(arg2), modulus, input_mod_factor)
+    w = _scalar64(a2)
+    wp = _scalar64(_nt.barrett_factor(a2, 64, modulus))
     if arg3 is None:
-        fn = _jitted("fma_mod", modulus, int(arg2), input_mod_factor, False)
-        return _result(fn(a_l), host)
+        fn = _jitted("fma_mod", modulus, input_mod_factor, False)
+        return _result(fn(a_l, w, wp), host)
     c_l, _ = _coerce(arg3)
-    fn = _jitted("fma_mod", modulus, int(arg2), input_mod_factor, True)
-    return _result(fn(a_l, c_l), host)
+    fn = _jitted("fma_mod", modulus, input_mod_factor, True)
+    return _result(fn(a_l, w, wp, c_l), host)
 
 
 def eltwise_reduce_mod(a, modulus: int, input_mod_factor: int,
@@ -170,14 +183,17 @@ def eltwise_reduce_mod(a, modulus: int, input_mod_factor: int,
 def eltwise_cmp_add(a, cmp: str, bound: int, diff: int):
     """result[i] = cmp(a[i], bound) ? a[i] + diff : a[i]."""
     a_l, host = _coerce(a)
-    return _result(_jitted("cmp_add", cmp, bound, diff)(a_l), host)
+    return _result(
+        _jitted("cmp_add", cmp)(a_l, _scalar64(bound), _scalar64(diff)),
+        host)
 
 
 def eltwise_cmp_sub_mod(a, modulus: int, cmp: str, bound: int, diff: int):
     """result[i] = cmp(a[i], bound) ? (a[i] - diff) mod q : a[i] mod q."""
     a_l, host = _coerce(a)
     return _result(
-        _jitted("cmp_sub_mod", modulus, cmp, bound, diff)(a_l), host)
+        _jitted("cmp_sub_mod", modulus, cmp)(a_l, _scalar64(bound),
+                                             _scalar64(diff)), host)
 
 
 def eltwise_montgomery_form_in(a, modulus: int):

@@ -53,8 +53,8 @@ def dyadic_multiply(operand1, operand2, moduli):
     """ct x ct product. Operands shaped (2, num_moduli, n), output
     (3, num_moduli, n); values < q_i along the moduli axis."""
     moduli = tuple(int(q) for q in moduli)
-    host = not isinstance(operand1, U64)
-    x = to_limbs(np.asarray(operand1, dtype=np.uint64)) if host else operand1
-    y = to_limbs(np.asarray(operand2, dtype=np.uint64)) if host else operand2
+    from ..limb import coerce_limbs
+    x, x_host = coerce_limbs(operand1)
+    y, y_host = coerce_limbs(operand2)
     out = _jitted(moduli)(x, y)
-    return from_limbs(out) if host else out
+    return from_limbs(out) if (x_host or y_host) else out

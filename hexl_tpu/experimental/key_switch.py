@@ -148,11 +148,11 @@ def key_switch(result, t_target, n: int, decomp_modulus_size: int,
     """
     moduli = tuple(int(q) for q in moduli)
     modswitch_factors = tuple(int(f) for f in modswitch_factors)
-    host = not isinstance(result, U64)
-    r = to_limbs(np.asarray(result, dtype=np.uint64)) if host else result
-    t = to_limbs(np.asarray(t_target, dtype=np.uint64)) if host else t_target
-    k = to_limbs(np.asarray(key_switch_keys, dtype=np.uint64)) \
-        if not isinstance(key_switch_keys, U64) else key_switch_keys
+    from ..limb import coerce_limbs
+    r, r_host = coerce_limbs(result)
+    t, t_host = coerce_limbs(t_target)
+    k, _ = coerce_limbs(key_switch_keys)
+    host = r_host or t_host
     plan0 = get_plan(n, moduli[0])
     use_pallas = config.use_pallas() and plan0.rows is not None
     fn = _jitted_key_switch(n, decomp_modulus_size, key_modulus_size,

@@ -70,9 +70,9 @@ def lr_mat_vec_mult(cipher1, cipher2, moduli):
     returns (3, num_moduli, n).
     """
     moduli = tuple(int(q) for q in moduli)
-    host = not isinstance(cipher1, U64)
-    c1 = to_limbs(np.asarray(cipher1, dtype=np.uint64)) if host else cipher1
-    c2 = to_limbs(np.asarray(cipher2, dtype=np.uint64)) if host else cipher2
+    from ..limb import coerce_limbs
+    c1, c1_host = coerce_limbs(cipher1)
+    c2, c2_host = coerce_limbs(cipher2)
     num_weights = c1.lo.shape[0]
     out = _jitted(moduli, num_weights)(c1, c2)
-    return from_limbs(out) if host else out
+    return from_limbs(out) if (c1_host or c2_host) else out

@@ -356,3 +356,15 @@ def montgomery_reduce_u128(t: U128, modulus: int, r: int, inv_mod: int) -> U64:
     s = add64(t.hi, mq.hi)
     s = add64_small(s, carry)
     return cond_sub64(s, const64(modulus))
+
+
+def coerce_limbs(x):
+    """Coerce one operand to U64 limb form: (U64, was_host).
+
+    Multi-operand public ops must coerce EACH operand independently so
+    host numpy and device-resident U64 arguments can be mixed; results
+    return to numpy iff any input came from the host.
+    """
+    if isinstance(x, U64):
+        return x, False
+    return to_limbs(np.asarray(x, dtype=np.uint64)), True

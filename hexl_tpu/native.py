@@ -43,7 +43,8 @@ def _load():
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        if os.environ.get("HEXL_TPU_DISABLE_NATIVE"):
+        from . import config
+        if config._env_flag("HEXL_TPU_DISABLE_NATIVE"):
             _LIB = False
             return _LIB
         if not _SO_PATH.exists() and not _try_build():

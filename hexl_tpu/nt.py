@@ -143,7 +143,8 @@ def generate_primes(
         step_signed = -step
 
     out: List[int] = []
-    while (candidate < upper) if prefer_small_primes else (candidate > lower):
+    while (candidate <= upper) if prefer_small_primes \
+            else (candidate >= lower):
         if is_prime(candidate):
             out.append(candidate)
             if len(out) == num_primes:

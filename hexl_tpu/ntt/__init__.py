@@ -33,10 +33,6 @@ def _use_32bit(plan) -> bool:
     return plan.rows is not None and getattr(plan, "bit_shift", 64) == 32
 
 
-def _jitted_fwd(n: int, q: int, imf: int, omf: int, use_pallas: bool):
-    return _jitted_fwd_for_plan(get_plan(n, q), imf, omf, use_pallas)
-
-
 @functools.lru_cache(maxsize=None)
 def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool):
     if _use_32bit(plan):
@@ -49,10 +45,6 @@ def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool):
         from . import pallas_ntt
         return jax.jit(lambda x: pallas_ntt.fwd_ntt(x, plan, imf, omf))
     return jax.jit(lambda x: jnp_ntt.fwd_ntt(x, plan, imf, omf))
-
-
-def _jitted_inv(n: int, q: int, imf: int, omf: int, use_pallas: bool):
-    return _jitted_inv_for_plan(get_plan(n, q), imf, omf, use_pallas)
 
 
 @functools.lru_cache(maxsize=None)

@@ -289,12 +289,14 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
         ),
-        scratch_shapes=[
+        # Scratch only exists for the writeback body; the functional body
+        # must not reserve ~16N bytes of the scoped-vmem budget for nothing.
+        scratch_shapes=([
             pltpu.VMEM((rows, LANES), jnp.uint32),
             pltpu.VMEM((rows, LANES), jnp.uint32),
             pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
             pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
-        ],
+        ] if use_refs else []),
     )(x3.hi, x3.lo, *tw_planes)
     return U64(out_hi.reshape(shape), out_lo.reshape(shape))
 

@@ -140,6 +140,10 @@ class NttPlan:
         from .. import native
         if root is None:
             root = nt.minimal_primitive_root(2 * degree, modulus)
+        elif not nt.is_primitive_root(root, 2 * degree, modulus):
+            raise ValueError(
+                f"{root} is not a primitive {2 * degree}-th root of unity "
+                f"mod {modulus}")
         tables = native.root_tables(degree, modulus, root)
         if tables is not None:
             rop, irop, prop, pirop = tables

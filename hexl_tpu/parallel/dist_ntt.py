@@ -36,8 +36,8 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from .. import nt
-from ..limb import (U64, add64, cond_sub64, const64, reduce_mod_lazy64,
-                    sub64, to_limbs, from_limbs)
+from ..limb import (U64, add64, coerce_limbs, cond_sub64, const64,
+                    reduce_mod_lazy64, sub64, to_limbs, from_limbs)
 from ..ntt import jnp_ntt
 from ..ntt.jnp_ntt import _fwd_butterfly, _inv_butterfly, _shoup, _split2
 from ..ntt.plan import LANES, build_stage_lists, get_plan
@@ -482,9 +482,9 @@ class DistNTT:
     def poly_mult(self, a, b):
         """Sharded negacyclic product c = a*b mod (X^N+1, q); inputs
         (batch..., N) in [0, q), one fused dispatch over the mesh."""
-        host = not isinstance(a, U64)
-        a_l = to_limbs(np.asarray(a, dtype=np.uint64)) if host else a
-        b_l = to_limbs(np.asarray(b, dtype=np.uint64)) if host else b
+        a_l, a_host = coerce_limbs(a)
+        b_l, b_host = coerce_limbs(b)
+        host = a_host or b_host
         key = ("poly", a_l.lo.ndim)
         if key not in self._fwd_cache:
             self._fwd_cache[key] = self._build_poly_mult(a_l.lo.ndim)
@@ -541,16 +541,15 @@ def dist_rns_poly_mult(a, b, degree: int, moduli, mesh: Mesh):
     Each prime runs the fused sharded pipeline (DistNTT.poly_mult).
     """
     moduli = [int(q) for q in moduli]
-    host = not isinstance(a, U64)
-    a_np = np.asarray(a, dtype=np.uint64) if host else a
-    b_np = np.asarray(b, dtype=np.uint64) if host else b
+    a_l, a_host = coerce_limbs(a)
+    b_l, b_host = coerce_limbs(b)
+    host = a_host or b_host
     outs = []
     for i, q in enumerate(moduli):
         dntt = get_dist_ntt(degree, q, mesh)
-        ai = a_np[i] if host else U64(a.hi[i], a.lo[i])
-        bi = b_np[i] if host else U64(b.hi[i], b.lo[i])
-        outs.append(dntt.poly_mult(ai, bi))
+        outs.append(dntt.poly_mult(U64(a_l.hi[i], a_l.lo[i]),
+                                   U64(b_l.hi[i], b_l.lo[i])))
     if host:
-        return np.stack(outs)
+        return np.stack([from_limbs(o) for o in outs])
     return U64(jnp.stack([o.hi for o in outs]),
                jnp.stack([o.lo for o in outs]))

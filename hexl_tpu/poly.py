@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import config
 from .eltwise import jnp_kernels as K
-from .limb import U64, from_limbs, to_limbs
+from .limb import U64, coerce_limbs, from_limbs, to_limbs
 from .ntt import get_plan, jnp_ntt
 from .ntt.pallas_ntt import (_butterflies, _fwd_body, _inv_body,
                              _load_stages, _stage_planes)
@@ -111,28 +111,30 @@ def _jitted_poly_mult(n: int, q: int, use_pallas: bool):
 
 
 def poly_mult_mod(a, b, degree: int, modulus: int):
-    """c = a * b over Z_q[X]/(X^N + 1); inputs (..., N) in [0, q)."""
-    host = not isinstance(a, U64)
-    a_l = to_limbs(np.asarray(a, dtype=np.uint64)) if host else a
-    b_l = to_limbs(np.asarray(b, dtype=np.uint64)) if host else b
+    """c = a * b over Z_q[X]/(X^N + 1); inputs (..., N) in [0, q).
+
+    Operands may mix host numpy and device U64 forms; the result is numpy
+    iff any input came from the host.
+    """
+    a_l, a_host = coerce_limbs(a)
+    b_l, b_host = coerce_limbs(b)
     fn = _jitted_poly_mult(degree, modulus, config.use_pallas())
     out = fn(a_l, b_l)
-    return from_limbs(out) if host else out
+    return from_limbs(out) if (a_host or b_host) else out
 
 
 def rns_poly_mult_mod(a, b, degree: int, moduli):
     """Per-prime negacyclic products: a, b shaped (num_primes, ..., N) with
     residues along the leading axis; returns the same shape."""
     moduli = [int(q) for q in moduli]
-    host = not isinstance(a, U64)
-    a_np = np.asarray(a, dtype=np.uint64) if host else a
-    b_np = np.asarray(b, dtype=np.uint64) if host else b
+    a_l, a_host = coerce_limbs(a)
+    b_l, b_host = coerce_limbs(b)
+    host = a_host or b_host
     outs = []
     for i, q in enumerate(moduli):
-        ai = a_np[i] if host else U64(a.hi[i], a.lo[i])
-        bi = b_np[i] if host else U64(b.hi[i], b.lo[i])
-        outs.append(poly_mult_mod(ai, bi, degree, q))
+        outs.append(poly_mult_mod(U64(a_l.hi[i], a_l.lo[i]),
+                                  U64(b_l.hi[i], b_l.lo[i]), degree, q))
     if host:
-        return np.stack(outs)
+        return np.stack([from_limbs(o) for o in outs])
     return U64(jnp.stack([o.hi for o in outs]),
                jnp.stack([o.lo for o in outs]))

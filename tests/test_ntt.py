@@ -257,3 +257,34 @@ def test_plan_device_placement():
     x = rng.integers(0, ntt.modulus, size=2048, dtype=np.uint64)
     np.testing.assert_array_equal(
         np.asarray(ntt.inverse(ntt.forward(x))), x)
+
+
+def test_invalid_root_rejected():
+    """A caller-supplied non-primitive root must raise, not silently
+    produce wrong transforms."""
+    from hexl_tpu.ntt.plan import NttPlan
+    n = 64
+    q = nt.generate_primes(1, 30, True, ntt_size=n)[0]
+    with pytest.raises(ValueError, match="primitive"):
+        NttPlan(n, q, root=5 if not nt.is_primitive_root(5, 2 * n, q)
+                else 7)
+
+
+def test_poly_mult_mixed_operand_forms():
+    """Host numpy and device U64 operands can be mixed freely."""
+    from hexl_tpu.limb import to_limbs, from_limbs, U64
+    from hexl_tpu.poly import poly_mult_mod
+    n = 2048
+    q = nt.generate_primes(1, 45, True, ntt_size=n)[0]
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, q, size=n, dtype=np.uint64)
+    b = rng.integers(0, q, size=n, dtype=np.uint64)
+    exp = poly_mult_mod(a, b, n, q)
+    got_md = poly_mult_mod(to_limbs(a), b, n, q)      # device, host
+    got_dm = poly_mult_mod(a, to_limbs(b), n, q)      # host, device
+    np.testing.assert_array_equal(np.asarray(got_md), exp)
+    np.testing.assert_array_equal(np.asarray(got_dm), exp)
+    # all-device stays on device
+    out = poly_mult_mod(to_limbs(a), to_limbs(b), n, q)
+    assert isinstance(out, U64)
+    np.testing.assert_array_equal(from_limbs(out), exp)
