@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..limb import U64, cond_sub64, const64, to_limbs
 from . import jnp_ntt
 from .jnp_ntt import _final_inv_stage, _split2
-from .plan import LANES, NttPlan, build_stage_lists
+from .plan import (LANES, NttPlan, build_cross_tables, build_stage_lists,
+                   stack_stage_tables)
 
 # Local shard size for the hierarchical split: comfortably under both
 # fused-kernel ceilings (pallas_ntt.PALLAS_MAX_N_*), large enough that the
@@ -59,44 +60,14 @@ class HierTables:
                               base_offset=s * LOCAL_N, local_n=LOCAL_N)
             for s in range(d)
         ]
-        self.fwd_a = _stack(per_dev, 0)
-        self.fwd_b = _stack(per_dev, 1)
-        self.inv_b = _stack(per_dev, 2)
-        self.inv_a = _stack(per_dev, 3)
+        self.fwd_a = stack_stage_tables(per_dev, 0)
+        self.fwd_b = stack_stage_tables(per_dev, 1)
+        self.inv_b = stack_stage_tables(per_dev, 2)
+        self.inv_a = stack_stage_tables(per_dev, 3)
 
         # Cross-stage twiddles (replicated small tables), as in DistNTT.
-        self.cross_fwd = []
-        m = 1
-        while m <= d // 2:
-            self.cross_fwd.append(
-                (m, to_limbs(plan.rop[m:2 * m]),
-                 to_limbs(plan.prop[m:2 * m])))
-            m *= 2
-        root_index = 1
-        t = 1
-        while t < LOCAL_N:
-            root_index += n // (2 * t)
-            t *= 2
-        self.cross_inv = []
-        while t < n // 2:
-            m = n // (2 * t)
-            self.cross_inv.append(
-                (m, to_limbs(plan.irop[root_index:root_index + m]),
-                 to_limbs(plan.pirop[root_index:root_index + m])))
-            root_index += m
-            t *= 2
-
-
-def _stack(per_dev, idx) -> List:
-    out = []
-    for s in range(len(per_dev[0][idx])):
-        m, t = per_dev[0][idx][s][0], per_dev[0][idx][s][1]
-        w = U64(jnp.stack([pd[idx][s][2].hi for pd in per_dev]),
-                jnp.stack([pd[idx][s][2].lo for pd in per_dev]))
-        wp = U64(jnp.stack([pd[idx][s][3].hi for pd in per_dev]),
-                 jnp.stack([pd[idx][s][3].lo for pd in per_dev]))
-        out.append((m, t, w, wp))
-    return out
+        self.cross_fwd, self.cross_inv = build_cross_tables(
+            n, LOCAL_N, d, plan.rop, plan.prop, plan.irop, plan.pirop)
 
 
 def get_hier(plan: NttPlan) -> HierTables:

@@ -353,3 +353,50 @@ def _plan_from_tables(n, q, root, rop, irop, prop, pirop) -> NttPlan:
     else:
         plan.rows = None
     return plan
+
+
+def stack_stage_tables(per_shard, idx):
+    """Stack one stage-list kind from per-shard build_stage_lists outputs
+    onto a leading shard axis (shared by the distributed NTT's per-device
+    tables and the hierarchical path's per-shard tables)."""
+    import jax.numpy as jnp
+    out = []
+    for s in range(len(per_shard[0][idx])):
+        m, t = per_shard[0][idx][s][0], per_shard[0][idx][s][1]
+        w = U64(jnp.stack([ps[idx][s][2].hi for ps in per_shard]),
+                jnp.stack([ps[idx][s][2].lo for ps in per_shard]))
+        wp = U64(jnp.stack([ps[idx][s][3].hi for ps in per_shard]),
+                 jnp.stack([ps[idx][s][3].lo for ps in per_shard]))
+        out.append((m, t, w, wp))
+    return out
+
+
+def build_cross_tables(n: int, local_n: int, d: int, rop, prop, irop,
+                       pirop):
+    """Twiddles for the stages whose stride >= local_n ("cross" stages in
+    both the distributed and the on-chip hierarchical decompositions).
+
+    Forward: stages m = 1..d/2 read rop[m:2m] (block index = shard-block).
+    Inverse: strides local_n..n/4 walk the stage-major irop after all
+    local stages; the final n/2-stride stage is fused with N^{-1} by the
+    caller. Returns (cross_fwd, cross_inv) as [(m, U64 w, U64 wp)].
+    """
+    cross_fwd = []
+    m = 1
+    while m <= d // 2:
+        cross_fwd.append((m, to_limbs(rop[m:2 * m]),
+                          to_limbs(prop[m:2 * m])))
+        m *= 2
+    root_index = 1
+    t = 1
+    while t < local_n:
+        root_index += n // (2 * t)
+        t *= 2
+    cross_inv = []
+    while t < n // 2:
+        m = n // (2 * t)
+        cross_inv.append((m, to_limbs(irop[root_index:root_index + m]),
+                          to_limbs(pirop[root_index:root_index + m])))
+        root_index += m
+        t *= 2
+    return cross_fwd, cross_inv

@@ -40,7 +40,8 @@ from ..limb import (U64, add64, coerce_limbs, cond_sub64, const64,
                     reduce_mod_lazy64, sub64, to_limbs, from_limbs)
 from ..ntt import jnp_ntt
 from ..ntt.jnp_ntt import _fwd_butterfly, _inv_butterfly, _shoup, _split2
-from ..ntt.plan import LANES, build_stage_lists, get_plan
+from ..ntt.plan import (LANES, build_cross_tables, build_stage_lists,
+                        get_plan, stack_stage_tables)
 
 
 def make_mesh(n_coeff: int, n_batch: int = 1,
@@ -51,20 +52,6 @@ def make_mesh(n_coeff: int, n_batch: int = 1,
     devices = np.asarray(devices[: n_coeff * n_batch]).reshape(
         n_batch, n_coeff)
     return Mesh(devices, ("batch", "coeff"))
-
-
-def _stack_stages(per_dev_stages):
-    """Stack per-device stage tables on a new leading device axis."""
-    out = []
-    n_stages = len(per_dev_stages[0])
-    for s in range(n_stages):
-        m, t = per_dev_stages[0][s][0], per_dev_stages[0][s][1]
-        w_hi = jnp.stack([d[s][2].hi for d in per_dev_stages])
-        w_lo = jnp.stack([d[s][2].lo for d in per_dev_stages])
-        p_hi = jnp.stack([d[s][3].hi for d in per_dev_stages])
-        p_lo = jnp.stack([d[s][3].lo for d in per_dev_stages])
-        out.append((m, t, U64(w_hi, w_lo), U64(p_hi, p_lo)))
-    return out
 
 
 class DistNTT:
@@ -95,35 +82,15 @@ class DistNTT:
                               local_n=self.local_n)
             for d in range(self.d)
         ]
-        self.fwd_a = _stack_stages([pd[0] for pd in per_dev])
-        self.fwd_b = _stack_stages([pd[1] for pd in per_dev])
-        self.inv_b = _stack_stages([pd[2] for pd in per_dev])
-        self.inv_a = _stack_stages([pd[3] for pd in per_dev])
+        self.fwd_a = stack_stage_tables(per_dev, 0)
+        self.fwd_b = stack_stage_tables(per_dev, 1)
+        self.inv_b = stack_stage_tables(per_dev, 2)
+        self.inv_a = stack_stage_tables(per_dev, 3)
 
-        # Cross-phase twiddles: device-axis stages m = 1 .. D/2 (fwd) use
-        # rop[m + b] where b is the device-block index — identical small
-        # tables on every shard (replicated).
-        self.cross_fwd = []
-        m = 1
-        while m <= self.d // 2:
-            self.cross_fwd.append(
-                (m, to_limbs(p.rop[m:2 * m]), to_limbs(p.prop[m:2 * m])))
-            m *= 2
-        # Inverse cross stages: strides t = local_n .. n/4 walk the
-        # stage-major irop sequentially after all local stages.
-        root_index = 1
-        t = 1
-        while t < self.local_n:
-            root_index += degree // (2 * t)
-            t *= 2
-        self.cross_inv = []
-        while t < degree // 2:
-            m = degree // (2 * t)
-            self.cross_inv.append(
-                (m, to_limbs(p.irop[root_index:root_index + m]),
-                 to_limbs(p.pirop[root_index:root_index + m])))
-            root_index += m
-            t *= 2
+        # Cross-phase twiddles (replicated small tables; same math as the
+        # on-chip hierarchical path).
+        self.cross_fwd, self.cross_inv = build_cross_tables(
+            degree, self.local_n, self.d, p.rop, p.prop, p.irop, p.pirop)
 
         self._fwd_cache = {}
         self._inv_cache = {}
