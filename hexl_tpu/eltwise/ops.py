@@ -33,7 +33,10 @@ def _run(body, ins):
     # portable body is the default everywhere. HEXL_TPU_FORCE_PALLAS_ELTWISE
     # opts into the runner (useful for pipelines that chain many eltwise
     # ops in one VMEM residency).
-    if config.use_pallas() and config.force_pallas_eltwise():
+    if (config.use_pallas() and config.force_pallas_eltwise()
+            and all(u.lo.ndim > 0 for u in ins)):
+        # Scalar (rank-0) operands can't ride the tiled runner (its
+        # flatten/pad would zero-extend them); those ops use the XLA body.
         return P.run_eltwise(body, ins)
     return body(*ins)
 

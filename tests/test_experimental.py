@@ -81,7 +81,12 @@ def test_fft_like_matches_oracle_and_roundtrip():
     rng = np.random.default_rng(2)
     x = rng.normal(size=n) + 1j * rng.normal(size=n)
     got = np.asarray(fft.forward(x))
-    exp = _fft_oracle_fwd(x, np.asarray(fft.fwd_table, dtype=np.complex128))
+    if fft.precision == "double_float":
+        from hexl_tpu.experimental.df32 import cdf_to_complex128
+        table = cdf_to_complex128(fft.fwd_table)
+    else:
+        table = np.asarray(fft.fwd_table, dtype=np.complex128)
+    exp = _fft_oracle_fwd(x, table)
     np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9)
     # inverse without scalar omits 1/n
     back = np.asarray(fft.inverse(got)) / n
@@ -224,7 +229,10 @@ def test_key_switch():
 def test_fft_like_double_float_precision():
     """The 2xf32 double-float path matches the f64 transform to ~1e-13
     relative — the TPU surrogate for the reference's complex<double>."""
+    import jax
     from hexl_tpu.experimental.fft_like import FFTLike
+    if not jax.config.jax_enable_x64:
+        pytest.skip("f64 reference transform needs x64 (CPU test mode)")
     n = 512
     rng = np.random.default_rng(8)
     x = rng.normal(size=n) + 1j * rng.normal(size=n)

@@ -55,19 +55,34 @@ def test_mod_factor_matrix(n, q_bits):
     rop, irop = ntt.plan.rop, ntt.plan.irop
     prop, pirop = ntt.plan.prop, ntt.plan.pirop
 
+    # On the Pallas path (TPU) lazy outputs use approximate-mulhi Shoup
+    # butterflies: values agree mod q within the declared range but not
+    # bit-for-bit — the reference's own AVX512 testing model (reduce % q
+    # and check the range, test-ntt-avx512.cpp:377-387). The portable
+    # path is bit-exact.
+    from hexl_tpu import config as _cfg
+    lazy_exact = not (_cfg.use_pallas() and ntt.plan.rows is not None)
+
+    def check(got, exp, omf_bound, msg):
+        got = np.asarray(got)
+        if lazy_exact:
+            np.testing.assert_array_equal(got, exp, err_msg=msg)
+        else:
+            np.testing.assert_array_equal(got % np.uint64(q),
+                                          exp % np.uint64(q), err_msg=msg)
+            assert got.max() < omf_bound * q, msg
+
     for imf in (1, 2, 4):
         for omf in (1, 4):
             got = ntt.forward(x, imf, omf)
             exp = ref.fwd_ntt_radix2(x, q, rop, prop, imf, omf)
-            np.testing.assert_array_equal(got, exp,
-                                          err_msg=f"fwd imf={imf} omf={omf}")
+            check(got, exp, omf, f"fwd imf={imf} omf={omf}")
     y = ref.fwd_ntt_radix2(x, q, rop, prop, 1, 1)
     for imf in (1, 2):
         for omf in (1, 2):
             got = ntt.inverse(y, imf, omf)
             exp = ref.inv_ntt_radix2(y, q, irop, pirop, imf, omf)
-            np.testing.assert_array_equal(got, exp,
-                                          err_msg=f"inv imf={imf} omf={omf}")
+            check(got, exp, omf, f"inv imf={imf} omf={omf}")
 
 
 def test_batched():
