@@ -184,6 +184,10 @@ class FFTLike:
         self.inv_scale = 1.0 / scalar if scalar is not None else None
         fwd, inv = _build_tables(degree)
         x64 = bool(jax.config.jax_enable_x64)
+        if precision not in ("auto", "single", "double_float", "f64"):
+            raise ValueError(
+                f"precision must be one of 'auto', 'single', "
+                f"'double_float', 'f64'; got {precision!r}")
         if precision == "auto":
             if x64 and config.default_backend() != "tpu":
                 precision = "f64"

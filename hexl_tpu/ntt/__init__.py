@@ -23,6 +23,7 @@ import numpy as np
 from .. import config
 from ..limb import U64, from_limbs, to_limbs
 from . import jnp_ntt
+from . import plan as _plan_mod
 from .plan import NttPlan, check_arguments, clear_plan_cache, get_plan
 
 __all__ = ["NTT", "NttPlan", "get_plan", "clear_plan_cache",
@@ -59,6 +60,13 @@ def _jitted_inv_for_plan(plan, imf: int, omf: int, use_pallas: bool):
         from . import pallas_ntt
         return jax.jit(lambda x: pallas_ntt.inv_ntt(x, plan, imf, omf))
     return jax.jit(lambda x: jnp_ntt.inv_ntt(x, plan, imf, omf))
+
+
+# The jitted-transform caches hold strong references to plan objects;
+# flush them together with the plan cache so repeated clear/rebuild cycles
+# (or ad-hoc NttPlan construction) don't leak compiled functions + tables.
+_plan_mod.register_clear_hook(_jitted_fwd_for_plan.cache_clear)
+_plan_mod.register_clear_hook(_jitted_inv_for_plan.cache_clear)
 
 
 class NTT:

@@ -245,6 +245,15 @@ class NttPlan:
 _PLAN_CACHE: Dict[Tuple[int, int], NttPlan] = {}
 _CACHE_LOCK = threading.Lock()
 
+# Callbacks run by clear_plan_cache() so derived caches (e.g. the jitted
+# transform caches in ntt/__init__.py, which hold strong references to
+# plan objects) are flushed together with the plans themselves.
+_CLEAR_HOOKS: List = []
+
+
+def register_clear_hook(fn) -> None:
+    _CLEAR_HOOKS.append(fn)
+
 
 def get_plan(degree: int, modulus: int, device=None) -> NttPlan:
     key = (degree, modulus, None if device is None else str(device))
@@ -266,6 +275,8 @@ def get_plan(degree: int, modulus: int, device=None) -> NttPlan:
 def clear_plan_cache() -> None:
     with _CACHE_LOCK:
         _PLAN_CACHE.clear()
+    for fn in _CLEAR_HOOKS:
+        fn()
 
 
 # ---------------------------------------------------------------------------
@@ -278,14 +289,21 @@ def clear_plan_cache() -> None:
 def save_plan_cache(path: str) -> int:
     """Serialize every cached plan's host tables to `path` (.npz).
 
-    Returns the number of plans saved. Device tables are rebuilt on load.
+    Returns the number of (N, q) pairs saved. Device-pinned plan variants
+    share the default plan's host tables, so each (N, q) is saved once and
+    device placement is NOT persisted — a restored plan lives wherever the
+    next dispatch puts it.
     """
     import numpy as _np
     with _CACHE_LOCK:
         items = list(_PLAN_CACHE.items())
     arrays = {}
+    seen = set()
     for cache_key, plan in items:
         n, q = cache_key[0], cache_key[1]
+        if (n, q) in seen:
+            continue  # device-pinned duplicate of the same host tables
+        seen.add((n, q))
         key = f"{n}_{q}"
         arrays[f"rop_{key}"] = plan.rop
         arrays[f"irop_{key}"] = plan.irop
@@ -293,7 +311,7 @@ def save_plan_cache(path: str) -> int:
         arrays[f"pirop_{key}"] = plan.pirop
         arrays[f"root_{key}"] = _np.uint64(plan.root)
     _np.savez_compressed(path, **arrays)
-    return len(items)
+    return len(seen)
 
 
 def load_plan_cache(path: str) -> int:
@@ -331,6 +349,27 @@ def load_plan_cache(path: str) -> int:
 def _plan_from_tables(n, q, root, rop, irop, prop, pirop) -> NttPlan:
     plan = NttPlan.__new__(NttPlan)
     check_arguments(n, q)
+    if not nt.is_primitive_root(root, 2 * n, q):
+        raise ValueError(
+            f"stored root {root} is not a primitive {2 * n}-th root of "
+            f"unity mod {q}")
+    # Spot-check table consistency: rop[i] must be root^{bitrev(i)} mod q
+    # and prop its 64-bit Barrett precondition (corrupt/tampered files
+    # would otherwise silently produce wrong transforms on restore).
+    for i in (1, n // 2, n - 1):
+        expect = nt.pow_mod(root, nt.reverse_bits(i, nt.log2_exact(n)), q)
+        if int(rop[i]) != expect:
+            raise ValueError(f"corrupt rop table for (N={n}, q={q})")
+        if int(prop[i]) != (expect << 64) // q:
+            raise ValueError(f"corrupt prop table for (N={n}, q={q})")
+        # irop is stage-major reordered; validate that each entry is a
+        # power of root^{-1} with a matching Shoup precondition.
+        iv = int(irop[i])
+        if iv >= q or int(pirop[i]) != (iv << 64) // q:
+            raise ValueError(f"corrupt irop table for (N={n}, q={q})")
+    # The stage-major inverse table ends with root^{-N/2} (feeds inv_n_w).
+    if int(irop[n - 1]) != nt.pow_mod(nt.inverse_mod(root, q), n // 2, q):
+        raise ValueError(f"corrupt irop table for (N={n}, q={q})")
     plan.n = n
     plan.q = q
     plan.log_n = nt.log2_exact(n)

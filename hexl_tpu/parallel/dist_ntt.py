@@ -494,8 +494,15 @@ class DistNTT:
 _DIST_CACHE = {}
 
 
+def _mesh_key(mesh: Mesh):
+    """Stable mesh identity: device ids + axis names/sizes (id(mesh) can
+    be reused after garbage collection and would alias distinct meshes)."""
+    return (tuple(d.id for d in mesh.devices.flat),
+            tuple(mesh.shape.items()))
+
+
 def get_dist_ntt(degree: int, modulus: int, mesh: Mesh) -> "DistNTT":
-    key = (degree, modulus, id(mesh))
+    key = (degree, modulus, _mesh_key(mesh))
     if key not in _DIST_CACHE:
         _DIST_CACHE[key] = DistNTT(degree, modulus, mesh)
     return _DIST_CACHE[key]
