@@ -133,6 +133,16 @@ def eltwise_add_mod(a, b, modulus: int):
 
 def eltwise_sub_mod(a, b, modulus: int):
     """result[i] = (a[i] - b[i]) mod q; b may be a scalar. Inputs < q."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1, "modulus must be > 1")
+        _chk.check(modulus < (1 << 63), "modulus must be < 2^63")
+        _chk.check_bounds(a, modulus, "eltwise_sub_mod operand1")
+        if np.isscalar(b) or isinstance(b, int):
+            _chk.check(int(b) < modulus,
+                       "eltwise_sub_mod operand2 must be < modulus")
+        else:
+            _chk.check_bounds(b, modulus, "eltwise_sub_mod operand2")
+    vlog(3, "eltwise_sub_mod q=%d", modulus)
     a_l, host = _coerce(a)
     if np.isscalar(b) or isinstance(b, int):
         s_l = _scalar64(b)
@@ -163,6 +173,19 @@ def eltwise_fma_mod(arg1, arg2: int, arg3, modulus: int,
                     input_mod_factor: int = 1):
     """result[i] = (arg1[i] * arg2 + arg3[i]) mod q; arg3 may be None."""
     from .. import nt as _nt
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1, "modulus must be > 1")
+        _chk.check(modulus < (1 << 61), "modulus must be < 2^61")
+        _chk.check(input_mod_factor in (1, 2, 4, 8),
+                   "input_mod_factor must be 1, 2, 4 or 8")
+        _chk.check(int(arg2) < input_mod_factor * modulus,
+                   "arg2 exceeds input_mod_factor * modulus")
+        _chk.check_bounds(arg1, input_mod_factor * modulus,
+                          "eltwise_fma_mod arg1")
+        if arg3 is not None:
+            _chk.check_bounds(arg3, input_mod_factor * modulus,
+                              "eltwise_fma_mod arg3")
+    vlog(3, "eltwise_fma_mod q=%d imf=%d", modulus, input_mod_factor)
     a_l, host = _coerce(arg1)
     a2 = _nt.reduce_mod(int(arg2), modulus, input_mod_factor)
     w = _scalar64(a2)
@@ -178,6 +201,20 @@ def eltwise_fma_mod(arg1, arg2: int, arg3, modulus: int,
 def eltwise_reduce_mod(a, modulus: int, input_mod_factor: int,
                        output_mod_factor: int):
     """Range change: IMF in {2, 4, modulus} -> OMF in {1, 2}."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1, "modulus must be > 1")
+        _chk.check(input_mod_factor == modulus
+                   or input_mod_factor in (2, 4),
+                   "input_mod_factor must be modulus, 2 or 4")
+        _chk.check(output_mod_factor in (1, 2),
+                   "output_mod_factor must be 1 or 2")
+        _chk.check(input_mod_factor != output_mod_factor,
+                   "input_mod_factor must differ from output_mod_factor")
+        if input_mod_factor != modulus:
+            _chk.check_bounds(a, input_mod_factor * modulus,
+                              "eltwise_reduce_mod operand")
+    vlog(3, "eltwise_reduce_mod q=%d imf=%d omf=%d", modulus,
+         input_mod_factor, output_mod_factor)
     a_l, host = _coerce(a)
     fn = _jitted("reduce_mod", modulus, input_mod_factor, output_mod_factor)
     return _result(fn(a_l), host)
@@ -185,6 +222,9 @@ def eltwise_reduce_mod(a, modulus: int, input_mod_factor: int,
 
 def eltwise_cmp_add(a, cmp: str, bound: int, diff: int):
     """result[i] = cmp(a[i], bound) ? a[i] + diff : a[i]."""
+    if _chk.debug_enabled():
+        _chk.check(int(diff) != 0, "diff must be != 0")
+    vlog(3, "eltwise_cmp_add cmp=%s", cmp)
     a_l, host = _coerce(a)
     return _result(
         _jitted("cmp_add", cmp)(a_l, _scalar64(bound), _scalar64(diff)),
@@ -193,6 +233,10 @@ def eltwise_cmp_add(a, cmp: str, bound: int, diff: int):
 
 def eltwise_cmp_sub_mod(a, modulus: int, cmp: str, bound: int, diff: int):
     """result[i] = cmp(a[i], bound) ? (a[i] - diff) mod q : a[i] mod q."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1, "modulus must be > 1")
+        _chk.check(int(diff) != 0, "diff must be != 0")
+    vlog(3, "eltwise_cmp_sub_mod q=%d cmp=%s", modulus, cmp)
     a_l, host = _coerce(a)
     return _result(
         _jitted("cmp_sub_mod", modulus, cmp)(a_l, _scalar64(bound),
@@ -201,18 +245,31 @@ def eltwise_cmp_sub_mod(a, modulus: int, cmp: str, bound: int, diff: int):
 
 def eltwise_montgomery_form_in(a, modulus: int):
     """a * 2^64 mod q."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1 and modulus % 2 == 1,
+                   "modulus must be odd and > 1")
+        _chk.check_bounds(a, modulus, "montgomery_form_in operand")
     a_l, host = _coerce(a)
     return _result(_jitted("mont_form_in", modulus)(a_l), host)
 
 
 def eltwise_montgomery_form_out(a, modulus: int):
     """a * 2^-64 mod q."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1 and modulus % 2 == 1,
+                   "modulus must be odd and > 1")
+        _chk.check_bounds(a, modulus, "montgomery_form_out operand")
     a_l, host = _coerce(a)
     return _result(_jitted("mont_form_out", modulus)(a_l), host)
 
 
 def eltwise_montgomery_mult_reduce(a, b, modulus: int):
     """REDC(a*b) = a*b*2^-64 mod q for a, b in [0, q)."""
+    if _chk.debug_enabled():
+        _chk.check(modulus > 1 and modulus % 2 == 1,
+                   "modulus must be odd and > 1")
+        _chk.check_bounds(a, modulus, "montgomery_mult_reduce operand1")
+        _chk.check_bounds(b, modulus, "montgomery_mult_reduce operand2")
     a_l, host = _coerce(a)
     b_l, _ = _coerce(b)
     return _result(_jitted("mont_mult_reduce", modulus)(a_l, b_l), host)

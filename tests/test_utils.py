@@ -66,3 +66,76 @@ def test_vlog(monkeypatch, caplog):
         vlog(5, "hidden")
     assert any("hello 42" in r.message for r in caplog.records)
     assert not any("hidden" in r.message for r in caplog.records)
+
+
+# --- per-op negative tests (debug-mode coverage parity: every public
+# eltwise op validates under HEXL_TPU_DEBUG=1; reference check.hpp usage
+# across hexl/eltwise/*.cpp) ---
+
+def test_sub_mod_bounds(debug_mode):
+    from hexl_tpu.eltwise import eltwise_sub_mod
+    q = 97
+    good = np.array([0, 96], dtype=np.uint64)
+    bad = np.array([97], dtype=np.uint64)
+    eltwise_sub_mod(good, good, q)
+    with pytest.raises(ValueError):
+        eltwise_sub_mod(bad, good[:1], q)
+    with pytest.raises(ValueError):
+        eltwise_sub_mod(good, 97, q)  # scalar operand2 >= q
+
+
+def test_fma_mod_bounds(debug_mode):
+    from hexl_tpu.eltwise import eltwise_fma_mod
+    q = 101
+    good = np.array([0, 100], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        eltwise_fma_mod(good, 3, None, q, input_mod_factor=3)
+    with pytest.raises(ValueError):
+        eltwise_fma_mod(np.array([101], dtype=np.uint64), 3, None, q, 1)
+    with pytest.raises(ValueError):
+        eltwise_fma_mod(good, 101, None, q, 1)  # arg2 out of range
+    with pytest.raises(ValueError):
+        eltwise_fma_mod(good, 3, np.array([101, 0], dtype=np.uint64), q, 1)
+    eltwise_fma_mod(good, 3, good, q, 1)
+
+
+def test_reduce_mod_args(debug_mode):
+    from hexl_tpu.eltwise import eltwise_reduce_mod
+    q = 97
+    good = np.array([0, 96], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        eltwise_reduce_mod(good, q, 3, 1)  # bad IMF
+    with pytest.raises(ValueError):
+        eltwise_reduce_mod(good, q, 2, 2)  # IMF == OMF
+    with pytest.raises(ValueError):
+        eltwise_reduce_mod(np.array([2 * 97], dtype=np.uint64), q, 2, 1)
+    eltwise_reduce_mod(good, q, 2, 1)
+
+
+def test_cmp_ops_args(debug_mode):
+    from hexl_tpu.eltwise import eltwise_cmp_add, eltwise_cmp_sub_mod
+    a = np.array([5, 10], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        eltwise_cmp_add(a, "true", 7, 0)  # diff == 0
+    with pytest.raises(ValueError):
+        eltwise_cmp_sub_mod(a, 97, "true", 7, 0)  # diff == 0
+    eltwise_cmp_add(a, "true", 7, 1)
+    eltwise_cmp_sub_mod(a, 97, "true", 7, 1)
+
+
+def test_montgomery_bounds(debug_mode):
+    from hexl_tpu.eltwise import (eltwise_montgomery_form_in,
+                                  eltwise_montgomery_form_out,
+                                  eltwise_montgomery_mult_reduce)
+    q = 97
+    good = np.array([0, 96], dtype=np.uint64)
+    bad = np.array([97], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        eltwise_montgomery_form_in(bad, q)
+    with pytest.raises(ValueError):
+        eltwise_montgomery_form_out(bad, q)
+    with pytest.raises(ValueError):
+        eltwise_montgomery_mult_reduce(good, bad[:1] * 0 + 97, q)
+    with pytest.raises(ValueError):
+        eltwise_montgomery_form_in(good, 96)  # even modulus
+    eltwise_montgomery_form_in(good, q)
