@@ -23,7 +23,13 @@ from ..limb import U64, coerce_limbs, from_limbs, to_limbs
 from ..utils import check as _chk
 from ..utils.logging import vlog
 from . import jnp_kernels as K
+from . import jnp_kernels32 as K32
 from . import pallas_kernels as P
+
+# Single-limb regime bound — the reference's DQ-32 best-performance bound
+# (README.md:202-204): ops whose values stay below 2^32 run on one uint32
+# plane (~4x fewer lane ops). Chosen per (op, q, imf) inside _jitted.
+_SMALL_Q = 1 << 30
 
 
 def _run(body, ins):
@@ -46,39 +52,51 @@ def _jitted(op: str, *static):
     """Build + jit the op with its static parameters baked in."""
     if op == "add_mod_vv":
         (q,) = static
-        body = lambda a, b: K.add_mod(a, b, q)
+        kk = K32.add_mod32 if q < _SMALL_Q else K.add_mod
+        body = lambda a, b: kk(a, b, q)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "add_mod_vs":
         # Scalar passed as a traced operand: one compile per (op, q), not
         # per scalar value (unbounded-cache / recompile hazard otherwise).
         (q,) = static
-        body = lambda a, s: K.add_mod(a, s, q)
+        kk = K32.add_mod32 if q < _SMALL_Q else K.add_mod
+        body = lambda a, s: kk(a, s, q)
         return jax.jit(lambda a, s: _run(body, (a, s)))
     if op == "sub_mod_vv":
         (q,) = static
-        body = lambda a, b: K.sub_mod(a, b, q)
+        kk = K32.sub_mod32 if q < _SMALL_Q else K.sub_mod
+        body = lambda a, b: kk(a, b, q)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "sub_mod_vs":
         (q,) = static
-        body = lambda a, s: K.sub_mod(a, s, q)
+        kk = K32.sub_mod32 if q < _SMALL_Q else K.sub_mod
+        body = lambda a, s: kk(a, s, q)
         return jax.jit(lambda a, s: _run(body, (a, s)))
     if op == "mult_mod":
         q, imf = static
-        body = lambda a, b: K.mult_mod(a, b, q, imf)
+        if q < _SMALL_Q and imf * q < (1 << 32):
+            body = lambda a, b: K32.mult_mod32(a, b, q, imf)
+        else:
+            body = lambda a, b: K.mult_mod(a, b, q, imf)
         return jax.jit(lambda a, b: _run(body, (a, b)))
     if op == "fma_mod":
         # The scalar and its Shoup precondition are traced operands
-        # (reduced/preconditioned host-side in eltwise_fma_mod).
+        # (reduced/preconditioned host-side in eltwise_fma_mod; the
+        # precondition's bit shift matches the selected regime).
         q, imf, has_arg3 = static
+        small = q < _SMALL_Q and imf * q < (1 << 32)
+        kk = K32.fma_mod32_preconned if small else K.fma_mod_preconned
         if has_arg3:
-            body = lambda a, w, wp, c: K.fma_mod_preconned(
-                a, w, wp, c, q, imf)
+            body = lambda a, w, wp, c: kk(a, w, wp, c, q, imf)
             return jax.jit(lambda a, w, wp, c: _run(body, (a, w, wp, c)))
-        body = lambda a, w, wp: K.fma_mod_preconned(a, w, wp, None, q, imf)
+        body = lambda a, w, wp: kk(a, w, wp, None, q, imf)
         return jax.jit(lambda a, w, wp: _run(body, (a, w, wp)))
     if op == "reduce_mod":
         q, imf, omf = static
-        body = lambda a: K.reduce_mod(a, q, imf, omf)
+        if q < _SMALL_Q and imf in (2, 4):
+            body = lambda a: K32.reduce_mod32(a, q, imf, omf)
+        else:
+            body = lambda a: K.reduce_mod(a, q, imf, omf)
         return jax.jit(lambda a: _run(body, (a,)))
     if op == "cmp_add":
         (cmp,) = static
@@ -188,8 +206,11 @@ def eltwise_fma_mod(arg1, arg2: int, arg3, modulus: int,
     vlog(3, "eltwise_fma_mod q=%d imf=%d", modulus, input_mod_factor)
     a_l, host = _coerce(arg1)
     a2 = _nt.reduce_mod(int(arg2), modulus, input_mod_factor)
+    small = (modulus < _SMALL_Q
+             and input_mod_factor * modulus < (1 << 32))
+    shift = 32 if small else 64
     w = _scalar64(a2)
-    wp = _scalar64(_nt.barrett_factor(a2, 64, modulus))
+    wp = _scalar64(_nt.barrett_factor(a2, shift, modulus))
     if arg3 is None:
         fn = _jitted("fma_mod", modulus, input_mod_factor, False)
         return _result(fn(a_l, w, wp), host)

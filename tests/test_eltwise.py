@@ -122,3 +122,53 @@ def test_montgomery_family():
     expected = eltwise_montgomery_form_in(
         (a.astype(object) * b.astype(object) % q).astype(np.uint64), q)
     np.testing.assert_array_equal(ab_m, expected)
+
+
+# --- single-limb (q < 2^30) regime: explicit equivalence vs the 64-bit
+# bodies on the same inputs (reference analogue: the DQ-32 regime must
+# agree with Native, test-eltwise-*-avx512.cpp pattern) ---
+
+def test_small_q_regime_matches_64bit_bodies():
+    import numpy as np
+    from hexl_tpu import nt
+    from hexl_tpu.eltwise import jnp_kernels as K
+    from hexl_tpu.eltwise import jnp_kernels32 as K32
+    from hexl_tpu.limb import from_limbs, to_limbs
+
+    q = nt.generate_primes(1, 29, True, ntt_size=1 << 10)[0]
+    rng = np.random.default_rng(5)
+    for imf in (1, 2, 4):
+        a = rng.integers(0, imf * q, size=257, dtype=np.uint64)
+        b = rng.integers(0, imf * q, size=257, dtype=np.uint64)
+        got = from_limbs(K32.mult_mod32(to_limbs(a), to_limbs(b), q, imf))
+        want = from_limbs(K.mult_mod(to_limbs(a), to_limbs(b), q, imf))
+        np.testing.assert_array_equal(got, want)
+    a = rng.integers(0, q, size=257, dtype=np.uint64)
+    b = rng.integers(0, q, size=257, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        from_limbs(K32.add_mod32(to_limbs(a), to_limbs(b), q)),
+        from_limbs(K.add_mod(to_limbs(a), to_limbs(b), q)))
+    np.testing.assert_array_equal(
+        from_limbs(K32.sub_mod32(to_limbs(a), to_limbs(b), q)),
+        from_limbs(K.sub_mod(to_limbs(a), to_limbs(b), q)))
+    for imf, omf in ((2, 1), (4, 1), (4, 2)):
+        x = rng.integers(0, imf * q, size=257, dtype=np.uint64)
+        np.testing.assert_array_equal(
+            from_limbs(K32.reduce_mod32(to_limbs(x), q, imf, omf)),
+            from_limbs(K.reduce_mod(to_limbs(x), q, imf, omf)))
+
+
+def test_small_q_fma_matches_64bit():
+    import numpy as np
+    from hexl_tpu import nt
+    from hexl_tpu.eltwise import eltwise_fma_mod
+
+    q = nt.generate_primes(1, 29, True, ntt_size=1 << 10)[0]
+    rng = np.random.default_rng(6)
+    for imf in (1, 2, 4, 8):
+        a = rng.integers(0, imf * q, size=130, dtype=np.uint64)
+        c = rng.integers(0, imf * q, size=130, dtype=np.uint64)
+        w = int(rng.integers(0, imf * q))
+        got = eltwise_fma_mod(a, w, c, q, imf)
+        want = (a.astype(object) * (w % q) + c.astype(object)) % q
+        np.testing.assert_array_equal(got.astype(object), want)
