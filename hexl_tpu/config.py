@@ -58,3 +58,19 @@ def force_pallas_eltwise() -> bool:
     public eltwise ops (XLA fusion is faster for one-shot ops; see
     eltwise/ops.py)."""
     return _env_flag("HEXL_TPU_FORCE_PALLAS_ELTWISE")
+
+
+def dist_overlap_slices() -> int:
+    """Cross-phase overlap slicing for the distributed NTT.
+
+    HEXL_TPU_DIST_OVERLAP=S (S > 1) splits each cross-phase exchange into
+    S independent slice collectives so XLA's async-collective scheduler
+    can overlap slice s's butterflies with slice s+1's all-to-all (the
+    SNIPPETS.md §1 overlap pattern expressed at the collective level).
+    0/unset = single blocking exchange per phase.
+    """
+    import os
+    try:
+        return int(os.environ.get("HEXL_TPU_DIST_OVERLAP", "0"))
+    except ValueError:
+        return 0

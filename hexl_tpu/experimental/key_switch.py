@@ -76,19 +76,33 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
             key_index = (key_modulus_size - 1
                          if i == decomp_modulus_size else i)
             qk = moduli[key_index]
-            acc = [U128(zeros64((n,)), zeros64((n,)))
-                   for _ in range(key_component_count)]
-            for j in range(decomp_modulus_size):
-                if i == j:
-                    t_operand = get(t_target, j)  # original NTT form, < qj
-                else:
+            # Batch the j != i forward NTTs (all share modulus qk) into
+            # ONE stacked transform: trace/compile cost per i drops from
+            # ds NTT bodies to one, and the TPU runs one batched kernel
+            # (reference unrolls per-j singles, key-switch-internal.cpp:
+            # 58-90 — batching is the TPU-shaped restructuring).
+            batch_js = [j for j in range(decomp_modulus_size) if j != i]
+            t_ops = {}
+            if batch_js:
+                stack = []
+                for j in batch_js:
                     tj = t_target_intt[j]
                     if moduli[j] > qk:
                         tj = K.reduce_mod(tj, qk, qk, 1)
-                    t_operand = ntt_impl.fwd_ntt(tj, plans[qk], 4, 4)
+                    stack.append(tj)
+                stacked = U64(jnp.stack([s.hi for s in stack]),
+                              jnp.stack([s.lo for s in stack]))
+                fwd = ntt_impl.fwd_ntt(stacked, plans[qk], 4, 4)
+                for pos, j in enumerate(batch_js):
+                    t_ops[j] = U64(fwd.hi[pos], fwd.lo[pos])
+            if i < decomp_modulus_size:
+                t_ops[i] = get(t_target, i)  # original NTT form, < qi
+            acc = [U128(zeros64((n,)), zeros64((n,)))
+                   for _ in range(key_component_count)]
+            for j in range(decomp_modulus_size):
                 for k in range(key_component_count):
                     key_poly = get(keys, j, k, key_index)
-                    prod = mul64_wide(t_operand, key_poly)
+                    prod = mul64_wide(t_ops[j], key_poly)
                     acc[k] = add128(acc[k], prod)
             for k in range(key_component_count):
                 t_poly_prod[k][i] = _barrett_reduce_128(acc[k], qk)

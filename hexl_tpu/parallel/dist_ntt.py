@@ -57,11 +57,22 @@ def make_mesh(n_coeff: int, n_batch: int = 1,
 class DistNTT:
     """NTT with the coefficient axis sharded over `mesh`'s 'coeff' axis."""
 
-    def __init__(self, degree: int, modulus: int, mesh: Mesh):
+    def __init__(self, degree: int, modulus: int, mesh: Mesh,
+                 overlap_slices: Optional[int] = None):
+        """overlap_slices: split each cross-phase exchange into this many
+        independent slice collectives so XLA's async-collective scheduler
+        can overlap butterflies of slice s with the all-to-all of slice
+        s+1 (compute/communication overlap, SNIPPETS.md §1 pattern at the
+        collective level). None reads HEXL_TPU_DIST_OVERLAP; <=1 keeps the
+        single blocking exchange."""
+        from .. import config as _config
         self.mesh = mesh
         self.n = degree
         self.q = modulus
         self.d = mesh.shape["coeff"]
+        if overlap_slices is None:
+            overlap_slices = _config.dist_overlap_slices()
+        self.overlap_slices = max(1, int(overlap_slices))
         if degree % (self.d * self.d) != 0:
             raise ValueError("degree must be divisible by D^2")
         self.local_n = degree // self.d
@@ -97,6 +108,46 @@ class DistNTT:
 
     # -- shard_map bodies -------------------------------------------------
 
+    def _slice_count(self, lc: int) -> int:
+        """Slices for the overlapped cross phase: must divide lc and keep
+        slices lane-aligned when possible."""
+        s = self.overlap_slices
+        while s > 1 and lc % s != 0:
+            s -= 1
+        return max(1, s)
+
+    def _sliced_cross(self, x: U64, lc: int, stage_fn) -> U64:
+        """Run `stage_fn` ((..., d, lc_s) -> same) over `overlap_slices`
+        independent slices of the chunk axis, each with its own pair of
+        all-to-alls. Slices have no data dependencies, so XLA's
+        latency-hiding scheduler overlaps slice s's butterflies with
+        slice s+1's exchange."""
+        axis = x.lo.ndim - 1  # chunk-offset axis (length lc)
+        s = self._slice_count(lc)
+        step = lc // s
+        outs = []
+        for i in range(s):
+            sl = [slice(None)] * x.lo.ndim
+            sl[axis] = slice(i * step, (i + 1) * step)
+            piece = U64(x.hi[tuple(sl)], x.lo[tuple(sl)])
+            a2a_axis = piece.lo.ndim - 2
+            piece = U64(
+                jax.lax.all_to_all(piece.hi, "coeff", a2a_axis, a2a_axis,
+                                   tiled=False),
+                jax.lax.all_to_all(piece.lo, "coeff", a2a_axis, a2a_axis,
+                                   tiled=False))
+            piece = stage_fn(piece)
+            piece = U64(
+                jax.lax.all_to_all(piece.hi, "coeff", a2a_axis, a2a_axis,
+                                   tiled=False),
+                jax.lax.all_to_all(piece.lo, "coeff", a2a_axis, a2a_axis,
+                                   tiled=False))
+            outs.append(piece)
+        if s == 1:
+            return outs[0]
+        return U64(jnp.concatenate([p.hi for p in outs], axis=axis),
+                   jnp.concatenate([p.lo for p in outs], axis=axis))
+
     def _cross_fwd_body(self, x: U64, q: U64, two_q: U64) -> U64:
         """Device-axis butterflies on the (D, local_n/D) regrouped block."""
         d = self.d
@@ -108,21 +159,20 @@ class DistNTT:
         shape = x.lo.shape
         x = U64(x.hi.reshape(shape[:-1] + (d, lc)),
                 x.lo.reshape(shape[:-1] + (d, lc)))
-        x = U64(jax.lax.all_to_all(x.hi, "coeff", x.hi.ndim - 2,
-                                   x.hi.ndim - 2, tiled=False),
-                jax.lax.all_to_all(x.lo, "coeff", x.lo.ndim - 2,
-                                   x.lo.ndim - 2, tiled=False))
-        # Now axis -2 is the global device axis (length D), axis -1 is this
-        # shard's slice of local offsets. Run the cross stages on axis -2.
-        axis = x.lo.ndim - 2
-        for m, w, wp in self.cross_fwd:
-            xs, ys, join = _split2(x, axis, m, d // (2 * m))
-            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
-            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
-            nx, ny = _fwd_butterfly(xs, ys, wb, wpb, q, two_q)
-            x = join(nx, ny)
-        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
-                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
+
+        def stages(piece: U64) -> U64:
+            # Axis -2 is the global device axis (length D), axis -1 this
+            # shard's slice of local offsets. Cross stages run on axis -2.
+            axis = piece.lo.ndim - 2
+            for m, w, wp in self.cross_fwd:
+                xs, ys, join = _split2(piece, axis, m, d // (2 * m))
+                wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+                wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+                nx, ny = _fwd_butterfly(xs, ys, wb, wpb, q, two_q)
+                piece = join(nx, ny)
+            return piece
+
+        x = self._sliced_cross(x, lc, stages)
         return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
     def _cross_inv_body(self, x: U64, q: U64, two_q: U64) -> U64:
@@ -142,25 +192,26 @@ class DistNTT:
         shape = x.lo.shape
         x = U64(x.hi.reshape(shape[:-1] + (d, lc)),
                 x.lo.reshape(shape[:-1] + (d, lc)))
-        axis = x.lo.ndim - 2
-        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
-                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
-        for m, w, wp in self.cross_inv:
-            xs, ys, join = _split2(x, axis, m, d // (2 * m))
-            wb = U64(w.hi[:, None, None], w.lo[:, None, None])
-            wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
-            nx, ny = _inv_butterfly(xs, ys, wb, wpb, q, two_q)
-            x = join(nx, ny)
-        # Final stage fused with N^{-1}: pairs device-halves (m = 1).
-        xs, ys, join = _split2(x, axis, 1, d // 2)
-        tx = cond_sub64(add64(xs, ys), two_q)
-        ty = sub64(add64(xs, two_q), ys)
-        p = self.plan
-        nx = _shoup(tx, const64(p.inv_n), const64(p.inv_n_precon), q)
-        ny = _shoup(ty, const64(p.inv_n_w), const64(p.inv_n_w_precon), q)
-        x = join(nx, ny)
-        x = U64(jax.lax.all_to_all(x.hi, "coeff", axis, axis, tiled=False),
-                jax.lax.all_to_all(x.lo, "coeff", axis, axis, tiled=False))
+
+        def stages(piece: U64) -> U64:
+            axis = piece.lo.ndim - 2
+            for m, w, wp in self.cross_inv:
+                xs, ys, join = _split2(piece, axis, m, d // (2 * m))
+                wb = U64(w.hi[:, None, None], w.lo[:, None, None])
+                wpb = U64(wp.hi[:, None, None], wp.lo[:, None, None])
+                nx, ny = _inv_butterfly(xs, ys, wb, wpb, q, two_q)
+                piece = join(nx, ny)
+            # Final stage fused with N^{-1}: pairs device-halves (m = 1).
+            xs, ys, join = _split2(piece, axis, 1, d // 2)
+            tx = cond_sub64(add64(xs, ys), two_q)
+            ty = sub64(add64(xs, two_q), ys)
+            pp = self.plan
+            nx = _shoup(tx, const64(pp.inv_n), const64(pp.inv_n_precon), q)
+            ny = _shoup(ty, const64(pp.inv_n_w),
+                        const64(pp.inv_n_w_precon), q)
+            return join(nx, ny)
+
+        x = self._sliced_cross(x, lc, stages)
         return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
     # -- fused Pallas local transforms (TPU path) ---------------------------
@@ -502,7 +553,9 @@ def _mesh_key(mesh: Mesh):
 
 
 def get_dist_ntt(degree: int, modulus: int, mesh: Mesh) -> "DistNTT":
-    key = (degree, modulus, _mesh_key(mesh))
+    from .. import config as _config
+    key = (degree, modulus, _mesh_key(mesh),
+           max(1, _config.dist_overlap_slices()))
     if key not in _DIST_CACHE:
         _DIST_CACHE[key] = DistNTT(degree, modulus, mesh)
     return _DIST_CACHE[key]

@@ -161,3 +161,23 @@ def test_dist_single_shard_coeff_axis():
     np.testing.assert_array_equal(np.asarray(got), exp)
     back = dntt.inverse(got, 1, 1)
     np.testing.assert_array_equal(np.asarray(back), x)
+
+
+@pytest.mark.parametrize("slices", [2, 4])
+def test_dist_overlap_variant_matches_blocking(slices):
+    """The sliced (overlapped) cross phase must agree bit-for-bit with the
+    blocking single-exchange variant on the same mesh (VERDICT #4: both
+    variants validated on the emulated mesh before a pod shows up)."""
+    n = 1 << 13
+    q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    blocking = DistNTT(n, q, mesh, overlap_slices=1)
+    overlapped = DistNTT(n, q, mesh, overlap_slices=slices)
+    for fn in ("forward", "inverse"):
+        a = getattr(blocking, fn)(x)
+        b = getattr(overlapped, fn)(x)
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(blocking.poly_mult(x, x),
+                                  overlapped.poly_mult(x, x))

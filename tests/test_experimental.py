@@ -263,3 +263,39 @@ def test_df32_primitives():
     np.testing.assert_allclose(
         D.cdf_to_complex128(D.cdf_mul(ca, cb)),
         (a + 1j * b) * (b - 1j * a), rtol=1e-12)
+
+
+def _run_key_switch_case(n, ds, kc, bits=49, seed=21):
+    """Shared driver: random config vs the big-int oracle (production-
+    scale sweep mirroring the reference's test-key-switch.cpp matrix)."""
+    kms = ds + 1
+    rns = ds + 1
+    moduli = _moduli(kms, bits, n)
+    rng = np.random.default_rng(seed)
+    qk = moduli[-1]
+    t_target = np.stack([rng.integers(0, q, n, np.uint64)
+                         for q in moduli[:ds]])
+    keys = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                        dtype=np.uint64)
+    for j in range(ds):
+        for k in range(kc):
+            for m_i, q in enumerate(moduli):
+                keys[j, k, m_i] %= np.uint64(q)
+    msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+    result = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                 for q in moduli[:ds]])
+                       for _ in range(kc)])
+    got = key_switch(result, t_target, n, ds, kms, rns, kc, moduli, keys,
+                     msf)
+    exp = _key_switch_oracle(result, t_target, n, ds, kms, rns, kc,
+                             moduli, keys, msf)
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("n,ds,kc", [
+    (1 << 13, 3, 2),
+    (1 << 13, 2, 3),
+    (1 << 14, 3, 2),
+])
+def test_key_switch_production_scale(n, ds, kc):
+    _run_key_switch_case(n, ds, kc)
