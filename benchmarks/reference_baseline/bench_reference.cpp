@@ -10,6 +10,11 @@
 #include <vector>
 
 #include "hexl/hexl.hpp"
+#ifdef BASELINE_EXPERIMENTAL
+#include <complex>
+#include "hexl/experimental/fft-like/fft-like.hpp"
+#include "hexl/experimental/seal/key-switch.hpp"
+#endif
 
 using Clock = std::chrono::steady_clock;
 
@@ -123,6 +128,63 @@ int main() {
                             42);
          }));
   }
+
+#ifdef BASELINE_EXPERIMENTAL
+  // FFT-like (reference: benchmark/bench-fft-like.cpp shapes).
+  for (uint64_t log_n : {12, 14}) {
+    uint64_t n = 1ULL << log_n;
+    double scalar = 1.0;
+    FFTLike fft(n, &scalar);
+    std::vector<std::complex<double>> data(n);
+    std::mt19937_64 rng(9);
+    std::uniform_real_distribution<double> dist(-1.0, 1.0);
+    for (auto& z : data) z = {dist(rng), dist(rng)};
+    std::vector<std::complex<double>> out(n);
+    double scale = 1.0 / (1ULL << 30);
+    emit("fwd_fft_like", n, 0, time_per_call_us([&] {
+           fft.ComputeForwardFFTLike(out.data(), data.data(), &scale);
+         }));
+    emit("inv_fft_like", n, 0, time_per_call_us([&] {
+           fft.ComputeInverseFFTLike(out.data(), data.data(), &scale);
+         }));
+  }
+
+  // KeySwitch at a production CKKS shape (n=2^14, ds=3, kc=2, 49-bit).
+  {
+    uint64_t n = 1ULL << 14;
+    uint64_t ds = 3, kms = ds + 1, rns = ds + 1, kc = 2;
+    auto moduli = GeneratePrimes(kms, 49, true, n);
+    uint64_t qk = moduli[kms - 1];
+    std::vector<uint64_t> t_target;
+    for (uint64_t j = 0; j < ds; ++j) {
+      auto v = random_vec(n, moduli[j], 100 + j);
+      t_target.insert(t_target.end(), v.begin(), v.end());
+    }
+    // keys[j]: kc components x kms moduli x n coefficients, flat.
+    std::vector<std::vector<uint64_t>> keys(ds);
+    std::vector<const uint64_t*> key_ptrs(ds);
+    for (uint64_t j = 0; j < ds; ++j) {
+      keys[j].resize(kc * kms * n);
+      for (uint64_t k = 0; k < kc; ++k)
+        for (uint64_t m = 0; m < kms; ++m) {
+          auto v = random_vec(n, moduli[m], 200 + j * 16 + k * 4 + m);
+          std::copy(v.begin(), v.end(),
+                    keys[j].begin() + (k * kms + m) * n);
+        }
+      key_ptrs[j] = keys[j].data();
+    }
+    std::vector<uint64_t> msf(ds);
+    for (uint64_t i = 0; i < ds; ++i)
+      msf[i] = InverseMod(qk % moduli[i], moduli[i]);
+    std::vector<uint64_t> result(kc * ds * n, 0);
+    emit("key_switch", n, 49, time_per_call_us(
+             [&] {
+               KeySwitch(result.data(), t_target.data(), n, ds, kms, rns,
+                         kc, moduli.data(), key_ptrs.data(), msf.data());
+             },
+             5, 0.5));
+  }
+#endif  // BASELINE_EXPERIMENTAL
 
   printf("\n]\n");
   return 0;

@@ -13,10 +13,15 @@ SRCS=(
   "$REF"/hexl/eltwise/*.cpp
   "$REF"/hexl/ntt/*.cpp
   "$REF"/hexl/number-theory/*.cpp
+  "$REF"/hexl/experimental/fft-like/*.cpp
+  "$REF"/hexl/experimental/seal/*.cpp
 )
 
+# -include unordered_map: ntt-cache.hpp uses std::unordered_map without
+# including it (works in the reference's cmake build via transitive PCH).
 g++ -O3 -march=native -std=c++17 -DNDEBUG \
-  -DHEXL_HAS_AVX512DQ=1 -DHEXL_HAS_AVX512IFMA=1 -DHEXL_HAS_AVX512VBMI2=1 \
+  -include unordered_map -include utility \
+  -DBASELINE_EXPERIMENTAL -DHEXL_HAS_AVX512DQ=1 -DHEXL_HAS_AVX512IFMA=1 -DHEXL_HAS_AVX512VBMI2=1 \
   -I"$HERE/stub" \
   -I"$REF/hexl/include" \
   -I"$REF/hexl" \

@@ -254,22 +254,34 @@ class MxuNttPlan:
             wai[a] = self._power_row(base, n2, q)
 
         # ---- device tensors ----
+        # Weights are stored 2D as W2[(t, i), (s, o)] so each pass is ONE
+        # dot_general of a small matrix against the wide digit-stacked
+        # data — the orientation this chip's MXU path runs at full rate
+        # (measured: (128,128)@(128,wide) 152 T-MACs/s vs 2.6 for the
+        # tall-LHS orientation).
         def dev_w(mat, dx):
-            return jnp.asarray(_weight_tensor(mat, q, dx), dtype=_BF16)
+            wt = _weight_tensor(mat, q, dx)      # (dx, dw, n_in, n_out)
+            dw, n_in, n_out = wt.shape[1], wt.shape[2], wt.shape[3]
+            w2 = wt.transpose(0, 2, 1, 3).reshape(dx * n_in, dw * n_out)
+            return jnp.asarray(w2, dtype=_BF16)
 
-        self.wa = dev_w(wa, self.dx_fwd)          # (t, s, i2, a)
-        self.wb = dev_w(wb, self.dx_mid)          # (t, s, i1, b)
-        self.wbi = dev_w(wbi, self.dx_inv)        # (t, s, b, i1)
-        self.wai = dev_w(wai, self.dx_mid)        # (t, s, a, i2)
+        self.wa = dev_w(wa, self.dx_fwd)          # ((t,i2), (s,a))
+        self.wb = dev_w(wb, self.dx_mid)          # ((t,i1), (s,b))
+        self.wbi = dev_w(wbi, self.dx_inv)        # ((t,b),  (s,i1))
+        self.wai = dev_w(wai, self.dx_mid)        # ((t,a),  (s,i2))
 
-        # Fused twiddle/fold tables (forward: T; inverse: TInv).
+        # Fused twiddle/fold tables (forward: T on (a, i1); inverse: TInv
+        # used on values laid out (i1, ..., a) — stored transposed).
         rho = self.rho
         self.t_tab = _shoup_table(tmat, q)
         self.rho_t_tab = _shoup_table(_mulmod_scalar(tmat, rho, q), q)
-        self.ti_tab = _shoup_table(tinv, q)
-        self.rho_ti_tab = _shoup_table(_mulmod_scalar(tinv, rho, q), q)
+        tinv_t = np.ascontiguousarray(tinv.T)
+        self.ti_tab = _shoup_table(tinv_t, q)
+        self.rho_ti_tab = _shoup_table(
+            _mulmod_scalar(tinv_t, rho, q), q)
         rho_arr = np.full((), rho, dtype=np.uint64)
         self.rho_tab = _shoup_table(rho_arr, q)
+        self.rho_precon = (rho << 64) // q
         self.mu = (1 << 64) // q        # final Barrett constant
 
         # Contraction group size: largest t-count whose worst-case f32
@@ -327,12 +339,18 @@ def clear_mxu_cache() -> None:
 # Device pipeline
 # ---------------------------------------------------------------------------
 
-def _split_digits(x: U64, dx: int):
-    """U64 (..., r, c) -> bf16 digit planes (..., dx, r, c), unsigned 7-bit.
+def _split_digits_lead(x: U64, dx: int):
+    """U64 (n_in, ...) -> bf16 digit planes ((dx, n_in), flat_rest).
 
     Digit t covers bits [7t, 7t+7) of the 64-bit value; digits crossing
     the 32-bit limb boundary are assembled with static funnel shifts.
+    The digit axis stacks in FRONT of the contraction axis so the result
+    reshapes straight into the (dx*n_in, rest) dot operand.
     """
+    n_in = x.lo.shape[0]
+    rest = 1
+    for d in x.lo.shape[1:]:
+        rest *= d
     planes = []
     for t in range(dx):
         lo_bit = DIGIT_BITS * t
@@ -345,48 +363,44 @@ def _split_digits(x: U64, dx: int):
             d = ((x.lo >> lo_bit) | (x.hi << (32 - lo_bit))) \
                 & np.uint32(DIGIT_MASK)
         planes.append(d.astype(_I32).astype(_BF16))
-    return jnp.stack(planes, axis=-3)
+    return jnp.stack(planes, axis=0).reshape(dx * n_in, rest)
 
 
-def _matmul_digits(xd, w, groups, contract_left: bool):
-    """Exact modular-digit matmul.
+def _matmul_digits(x2d, w2d, groups, n_in: int):
+    """Exact modular-digit matmul: planes = W2ᵀ @ X̂.
 
-    xd: (..., dx, r, c) bf16 digit planes of the data matrix.
-    w:  (dx, dw, n_in, n_out) bf16 digit weight tensor.
-    contract_left=False contracts the data's LAST axis (c == n_in),
-    producing planes (..., dw, r, n_out); contract_left=True contracts
-    the data's ROW axis (r == n_in) producing (..., dw, n_out, c).
-    Returns int32 planes.
+    x2d: (dx*n_in, rest) bf16 digit-stacked data.
+    w2d: (dx*n_in, dw*n_out) bf16 digit weights W2[(t,i),(s,o)].
+    Contraction runs in t-row groups so every f32 accumulator stays an
+    exact integer (< 2^24); groups are summed in int32.
+    Returns int32 planes (dw*n_out, rest).
     """
     total = None
     for grp in groups:
-        t0, t1 = grp[0], grp[-1] + 1
-        xg = jax.lax.slice_in_dim(xd, t0, t1, axis=xd.ndim - 3)
-        wg = w[t0:t1]
-        if contract_left:
-            part = jnp.einsum("...tio,tsin->...sno", xg, wg,
-                              preferred_element_type=_F32)
-        else:
-            part = jnp.einsum("...tri,tsin->...srn", xg, wg,
-                              preferred_element_type=_F32)
-        part = part.astype(_I32)
+        r0, r1 = grp[0] * n_in, (grp[-1] + 1) * n_in
+        part = jax.lax.dot_general(
+            w2d[r0:r1], x2d[r0:r1],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=_F32).astype(_I32)
         total = part if total is None else total + part
     return total
 
 
-def _fold_planes(planes, dw: int):
+def _fold_planes(planes2d, dw: int, out_shape):
     """Carry-normalize int32 digit planes -> (U64 low part L, u32 top R).
 
-    planes: (..., dw, r, c) nonnegative int32 sums.
+    planes2d: (dw*n_out, rest) nonnegative int32 sums; out_shape is the
+    value shape (n_out, ...rest dims...).
     L = sum_{s<dw-1} D_s 2^{7s} < 2^{7(dw-1)} (<= 2^56 for dw <= 9);
     R = unnormalized top plane, < 2^28.
     """
-    planes = planes.astype(_U32)
-    lo = jnp.zeros_like(planes[..., 0, :, :])
+    n_out = out_shape[0]
+    planes = planes2d.astype(_U32).reshape((dw,) + tuple(out_shape))
+    lo = jnp.zeros_like(planes[0])
     hi = jnp.zeros_like(lo)
     carry = jnp.zeros_like(lo)
     for s in range(dw - 1):
-        v = planes[..., s, :, :] + carry
+        v = planes[s] + carry
         d = v & np.uint32(DIGIT_MASK)
         carry = v >> DIGIT_BITS
         bit = DIGIT_BITS * s
@@ -397,7 +411,7 @@ def _fold_planes(planes, dw: int):
         else:
             lo = lo | (d << bit)
             hi = hi | (d >> (32 - bit))
-    r_top = planes[..., dw - 1, :, :] + carry
+    r_top = planes[dw - 1] + carry
     return U64(hi, lo), r_top
 
 
@@ -412,10 +426,8 @@ def _u32_to_u64(r) -> U64:
     return U64(jnp.zeros_like(r), r)
 
 
-def _pass(xd, w_tensor, groups, plan, contract_left: bool):
-    """One matmul pass -> (L, R) fold components."""
-    planes = _matmul_digits(xd, w_tensor, groups, contract_left)
-    return _fold_planes(planes, plan.dw)
+def _transpose_u64(x: U64, perm) -> U64:
+    return U64(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
 
 
 def _twiddle_fuse(lo_part: U64, r_top, t_tab, rho_t_tab, q: U64) -> U64:
@@ -433,6 +445,210 @@ def _final_value(lo_part: U64, r_top, plan, q: U64) -> U64:
     return sub64(v, mullo64(q_hat, q))
 
 
+# ---------------------------------------------------------------------------
+# Pallas-fused recombination (fold + twiddle / fold + Barrett).
+#
+# The digit-plane fold and the Shoup chains are the pipeline's VPU cost
+# center (measured ~6 us/poly per pass as XLA ops at N=2^14); fusing them
+# into one VMEM-resident kernel removes the intermediate materializations.
+# The matmuls stay in XLA (the MXU path is efficient there); only the
+# per-point recombination work moves into Pallas.
+# ---------------------------------------------------------------------------
+
+def _pick_col_block(batch: int) -> int:
+    """Columns are (batch, n_in)-major; block k batch elements per step."""
+    for k in (4, 2, 1):
+        if batch % k == 0:
+            return k
+    return 1
+
+
+def _plane_slices(block, dw: int, n_out: int):
+    """Static row slices of a (dw*n_out, cols) block -> dw (n_out, cols)
+    uint32 planes (row slicing is free; no relayout)."""
+    return [block[s * n_out:(s + 1) * n_out, :].astype(_U32)
+            for s in range(dw)]
+
+
+def _carry_norm_rows(planes, dw: int):
+    """Carry-normalize a list of (n_out, cols) uint32 planes."""
+    lo = jnp.zeros_like(planes[0])
+    hi = jnp.zeros_like(lo)
+    carry = jnp.zeros_like(lo)
+    for s in range(dw - 1):
+        v = planes[s] + carry
+        d = v & np.uint32(DIGIT_MASK)
+        carry = v >> DIGIT_BITS
+        bit = DIGIT_BITS * s
+        if bit + DIGIT_BITS <= 32:
+            lo = lo | (d << bit)
+        elif bit >= 32:
+            hi = hi | (d << (bit - 32))
+        else:
+            lo = lo | (d << bit)
+            hi = hi | (d >> (32 - bit))
+    r_top = planes[dw - 1] + carry
+    return U64(hi, lo), r_top
+
+
+def _fold_twiddle_pallas(planes2d, plan, t_tab, rho_t_tab, n_out: int,
+                         batch: int, n_in: int) -> U64:
+    """Pallas-fused fold + twiddle: planes (dw*n_out, batch*n_in) int32
+    -> C = L*T + R*(rho*T) in [0, 4q), value layout (n_out, batch, n_in).
+
+    Blocks stay 2D ((dw*n_out) x (k*n_in)) so the sublane dimension is
+    the full plane height; per-digit planes are free row slices.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .. import config as _config
+
+    dw, q_int = plan.dw, plan.q
+    k = _pick_col_block(batch)
+    t_w, t_p = t_tab
+    r_w, r_p = rho_t_tab
+
+    def kernel(pl_ref, twh, twl, tph, tpl, rwh, rwl, rph, rpl,
+               out_hi, out_lo):
+        planes = _plane_slices(pl_ref[...], dw, n_out)
+        lo_part, r_top = _carry_norm_rows(planes, dw)
+
+        def b3(u):                       # (n_out, k*n_in) -> (n_out,k,n_in)
+            return u.reshape(n_out, k, n_in)
+
+        lo_part = U64(b3(lo_part.hi), b3(lo_part.lo))
+        r_top = b3(r_top)
+        q = const64(q_int)
+        tw = (U64(twh[...][:, None, :], twl[...][:, None, :]),
+              U64(tph[...][:, None, :], tpl[...][:, None, :]))
+        rw = (U64(rwh[...][:, None, :], rwl[...][:, None, :]),
+              U64(rph[...][:, None, :], rpl[...][:, None, :]))
+        a = _shoup_tab(lo_part, tw, q)
+        b = _shoup_tab(_u32_to_u64(r_top), rw, q)
+        c = add64(a, b)
+        out_hi[...] = c.hi.reshape(n_out, k * n_in)
+        out_lo[...] = c.lo.reshape(n_out, k * n_in)
+
+    x_spec = pl.BlockSpec((dw * n_out, k * n_in), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((n_out, k * n_in), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((n_out, n_in), lambda b: (0, 0),
+                          memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(batch // k,),
+        in_specs=[x_spec] + [t_spec] * 8,
+        out_specs=(o_spec, o_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_out, batch * n_in), jnp.uint32),
+            jax.ShapeDtypeStruct((n_out, batch * n_in), jnp.uint32),
+        ),
+        interpret=_config.default_backend() != "tpu",
+    )
+    hi, lo = call(planes2d, t_w.hi, t_w.lo, t_p.hi, t_p.lo,
+                  r_w.hi, r_w.lo, r_p.hi, r_p.lo)
+    return U64(hi.reshape(n_out, batch, n_in),
+               lo.reshape(n_out, batch, n_in))
+
+
+def _final_pallas(planes2d, plan, n_out: int, batch: int,
+                  n_in: int) -> U64:
+    """Pallas-fused fold + Barrett: planes -> V mod q in [0, 2q)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .. import config as _config
+
+    dw, q_int = plan.dw, plan.q
+    rho_wi, rho_pi = plan.rho, plan.rho_precon
+    mu = plan.mu
+    k = _pick_col_block(batch)
+
+    def kernel(pl_ref, out_hi, out_lo):
+        planes = _plane_slices(pl_ref[...], dw, n_out)
+        lo_part, r_top = _carry_norm_rows(planes, dw)
+        q = const64(q_int)
+        r = _shoup_tab(_u32_to_u64(r_top),
+                       (const64(rho_wi), const64(rho_pi)), q)
+        v = add64(lo_part, r)
+        q_hat = mulhi64(v, const64(mu))
+        out = sub64(v, mullo64(q_hat, q))
+        out_hi[...] = out.hi
+        out_lo[...] = out.lo
+
+    x_spec = pl.BlockSpec((dw * n_out, k * n_in), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((n_out, k * n_in), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(batch // k,),
+        in_specs=[x_spec],
+        out_specs=(o_spec, o_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_out, batch * n_in), jnp.uint32),
+            jax.ShapeDtypeStruct((n_out, batch * n_in), jnp.uint32),
+        ),
+        interpret=_config.default_backend() != "tpu",
+    )
+    hi, lo = call(planes2d)
+    return U64(hi.reshape(n_out, batch, n_in),
+               lo.reshape(n_out, batch, n_in))
+
+
+def _use_fused_recombine() -> bool:
+    from .. import config as _config
+    return _config.use_pallas()
+
+
+def _boundary_fused(x: U64, dx, w2d, groups, plan, n_in, n_out,
+                    t_tab, rho_t_tab, q) -> U64:
+    """matmul pass + (fold + twiddle), Pallas-fused when enabled.
+
+    x laid out (n_in, lead..., ); returns C (n_out, lead..., n_in2)
+    where n_in2 is x's trailing axis.
+    """
+    n_tail = x.lo.shape[-1]
+    batch = 1
+    for d in x.lo.shape[1:-1]:
+        batch *= d
+    xd = _split_digits_lead(x, dx)
+    planes2d = _matmul_digits(xd, w2d, groups, n_in)
+    out_shape = (n_out,) + x.lo.shape[1:-1] + (n_tail,)
+    if _use_fused_recombine():
+        c = _fold_twiddle_pallas(planes2d, plan, t_tab, rho_t_tab,
+                                 n_out, batch, n_tail)
+        return U64(c.hi.reshape(out_shape), c.lo.reshape(out_shape))
+    lo_p, r_top = _fold_planes(planes2d, plan.dw, out_shape)
+    nl = len(out_shape) - 2
+
+    def btab(tab):
+        w, wp = tab
+        sh = (n_out,) + (1,) * nl + (n_tail,)
+        return (U64(w.hi.reshape(sh), w.lo.reshape(sh)),
+                U64(wp.hi.reshape(sh), wp.lo.reshape(sh)))
+
+    return _twiddle_fuse(lo_p, r_top, btab(t_tab), btab(rho_t_tab), q)
+
+
+def _final_fused(x: U64, dx, w2d, groups, plan, n_in, n_out, q) -> U64:
+    """matmul pass + (fold + Barrett to [0, 2q)), Pallas-fused."""
+    n_tail = x.lo.shape[-1]
+    batch = 1
+    for d in x.lo.shape[1:-1]:
+        batch *= d
+    xd = _split_digits_lead(x, dx)
+    planes2d = _matmul_digits(xd, w2d, groups, n_in)
+    out_shape = (n_out,) + x.lo.shape[1:-1] + (n_tail,)
+    if _use_fused_recombine():
+        v = _final_pallas(planes2d, plan, n_out, batch, n_tail)
+        return U64(v.hi.reshape(out_shape), v.lo.reshape(out_shape))
+    lo_p, r_top = _fold_planes(planes2d, plan.dw, out_shape)
+    return _final_value(lo_p, r_top, plan, q)
+
+
 def fwd_ntt_mxu(x: U64, plan: MxuNttPlan, input_mod_factor: int = 1,
                 output_mod_factor: int = 1) -> U64:
     """Forward negacyclic NTT via MXU matmuls; bit-reversed output.
@@ -448,18 +664,21 @@ def fwd_ntt_mxu(x: U64, plan: MxuNttPlan, input_mod_factor: int = 1,
     q = const64(q_int)
     shape = x.lo.shape
     lead = shape[:-1]
+    nl = len(lead)
     x = U64(x.hi.reshape(lead + (n2, n1)), x.lo.reshape(lead + (n2, n1)))
-    # Pass 1: contract i2 (rows).
-    xd = _split_digits(x, plan.dx_fwd)
-    lo_p, r_top = _pass(xd, plan.wa, plan.groups_fwd1, plan, True)
-    # planes came out as (..., s, a, i1) — twiddle tables are (a, i1).
-    c = _twiddle_fuse(lo_p, r_top, plan.t_tab, plan.rho_t_tab, q)
-    # Pass 2: contract i1 (cols).
-    cd = _split_digits(c, plan.dx_mid)
-    lo_p, r_top = _pass(cd, plan.wb, plan.groups_fwd2, plan, False)
-    out = _final_value(lo_p, r_top, plan, q)      # (..., a, b) in [0,2q)
+    # Pass 1 contracts i2: bring it to the front -> (n2, lead..., n1).
+    x = _transpose_u64(x, (nl,) + tuple(range(nl)) + (nl + 1,))
+    # Matmul + fused fold/twiddle: C (a, lead..., i1) in [0, 4q).
+    c = _boundary_fused(x, plan.dx_fwd, plan.wa, plan.groups_fwd1, plan,
+                        n2, n2, plan.t_tab, plan.rho_t_tab, q)
+    # Pass 2 contracts i1: transpose (a, lead, i1) -> (i1, lead, a).
+    c = _transpose_u64(c, (nl + 1,) + tuple(range(1, nl + 1)) + (0,))
+    out = _final_fused(c, plan.dx_mid, plan.wb, plan.groups_fwd2, plan,
+                       n1, n1, q)              # (b, lead..., a) in [0,2q)
     if output_mod_factor == 1:
         out = cond_sub64(out, q)
+    # Natural output order is (lead..., a, b).
+    out = _transpose_u64(out, tuple(range(1, nl + 1)) + (nl + 1, 0))
     return U64(out.hi.reshape(shape), out.lo.reshape(shape))
 
 
@@ -477,15 +696,18 @@ def inv_ntt_mxu(x: U64, plan: MxuNttPlan, input_mod_factor: int = 1,
     q = const64(q_int)
     shape = x.lo.shape
     lead = shape[:-1]
+    nl = len(lead)
     x = U64(x.hi.reshape(lead + (n2, n1)), x.lo.reshape(lead + (n2, n1)))
-    # Pass 1: contract b (cols) with WbInv.
-    xd = _split_digits(x, plan.dx_inv)
-    lo_p, r_top = _pass(xd, plan.wbi, plan.groups_inv1, plan, False)
-    c = _twiddle_fuse(lo_p, r_top, plan.ti_tab, plan.rho_ti_tab, q)
-    # Pass 2: contract a (rows) with WaInv.
-    cd = _split_digits(c, plan.dx_mid)
-    lo_p, r_top = _pass(cd, plan.wai, plan.groups_inv2, plan, True)
-    out = _final_value(lo_p, r_top, plan, q)      # (..., i2, i1) in [0,2q)
+    # Pass 1 contracts b (last axis): bring it to the front.
+    x = _transpose_u64(x, (nl + 1,) + tuple(range(nl)) + (nl,))
+    # Values come out (i1, lead..., a); TInv tables stored as (i1, a).
+    c = _boundary_fused(x, plan.dx_inv, plan.wbi, plan.groups_inv1, plan,
+                        n1, n1, plan.ti_tab, plan.rho_ti_tab, q)
+    # Pass 2 contracts a: transpose (i1, lead, a) -> (a, lead, i1).
+    c = _transpose_u64(c, (nl + 1,) + tuple(range(1, nl + 1)) + (0,))
+    out = _final_fused(c, plan.dx_mid, plan.wai, plan.groups_inv2, plan,
+                       n2, n2, q)         # (i2, lead..., i1) in [0,2q)
     if output_mod_factor == 1:
         out = cond_sub64(out, q)
+    out = _transpose_u64(out, tuple(range(1, nl + 1)) + (0, nl + 1))
     return U64(out.hi.reshape(shape), out.lo.reshape(shape))

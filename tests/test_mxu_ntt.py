@@ -102,3 +102,21 @@ def test_roundtrip_batched(n, bits):
     fwd = from_limbs(mxu_ntt.fwd_ntt_mxu(to_limbs(x), plan, 1, 1))
     back = from_limbs(mxu_ntt.inv_ntt_mxu(to_limbs(fwd), plan, 1, 1))
     np.testing.assert_array_equal(back, x)
+
+
+def test_pallas_fused_recombine_interpret(monkeypatch):
+    """The Pallas fold+twiddle / fold+Barrett kernels (interpret mode on
+    CPU) must agree bit-for-bit with the XLA recombination path."""
+    import hexl_tpu.config as config
+    n, bits = 4096, 49
+    q = nt.generate_primes(1, bits, True, n)[0]
+    plan = mxu_ntt.get_mxu_plan(n, q)
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    plain_f = from_limbs(mxu_ntt.fwd_ntt_mxu(to_limbs(x), plan, 1, 1))
+    plain_i = from_limbs(mxu_ntt.inv_ntt_mxu(to_limbs(x), plan, 1, 1))
+    monkeypatch.setattr(config, "use_pallas", lambda: True)
+    fused_f = from_limbs(mxu_ntt.fwd_ntt_mxu(to_limbs(x), plan, 1, 1))
+    fused_i = from_limbs(mxu_ntt.inv_ntt_mxu(to_limbs(x), plan, 1, 1))
+    np.testing.assert_array_equal(fused_f, plain_f)
+    np.testing.assert_array_equal(fused_i, plain_i)
