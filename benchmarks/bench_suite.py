@@ -69,6 +69,8 @@ def main():
 
     from hexl_tpu import config, nt
     from hexl_tpu.eltwise import jnp_kernels as ek
+    from hexl_tpu.eltwise.jnp_kernels32 import (add_mod32 as ek32_add,
+                                                mult_mod32 as ek32_mult)
     from hexl_tpu.limb import to_limbs
     from hexl_tpu.ntt import get_plan
 
@@ -250,6 +252,104 @@ def main():
         record("rns_poly_mult_4x", n, 50, 4, _time_dispatch(
             _chained(lambda x, y: rns_chain(x, y), (b,)), (a,),
             max(1, iters // 2)))
+
+    # ---- MXU (matmul four-step) NTT regime ----
+    if not args.quick:
+        from hexl_tpu.ntt import mxu_ntt
+        for n, q_bits, batch in ((1 << 10, 49, 256), (1 << 14, 49, 128),
+                                 (1 << 14, 60, 128)):
+            q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+            mplan = mxu_ntt.get_mxu_plan(n, q)
+            x = rand_u64(batch, n, q)
+            pair = _chained(lambda v, p=mplan: mxu_ntt.inv_ntt_mxu(
+                mxu_ntt.fwd_ntt_mxu(v, p, 1, 1), p, 1, 1))
+            record("fwd+inv_ntt_mxu_pair", n, q_bits, batch,
+                   _time_dispatch(pair, (x,), max(1, iters // 2)))
+
+    # ---- FFT-like (reference: benchmark/bench-fft-like.cpp) ----
+    if not args.quick:
+        from hexl_tpu.experimental import fft_like as FL
+        from hexl_tpu.experimental.df32 import cdf_from_complex128
+        for n in (4096, 16384):
+            fft = FL.FFTLike(n, precision="double_float")
+            z = (rng.normal(size=(32, n)) + 1j * rng.normal(size=(32, n)))
+            zc = cdf_from_complex128(z)
+            fwd_tab, inv_tab = fft.fwd_table, fft.inv_table
+
+            def fft_pair(c, ft=fwd_tab, it=inv_tab, nn=n):
+                f = FL._stage_loop_fwd_df(c, ft, nn, None)
+                return FL._stage_loop_inv_df(f, it, nn, None)
+
+            fn = _chained(fft_pair)
+            dt = _time_dispatch(fn, (zc,), iters)
+            # Record per-call as one fwd+inv pair; reference rows are
+            # per-direction (fwd_fft_like / inv_fft_like), so compare the
+            # pair against their sum.
+            us = dt / (32 * CHAIN) * 1e6
+            base_f = baseline.get(("fwd_fft_like", n, 0))
+            base_i = baseline.get(("inv_fft_like", n, 0))
+            row = {"kernel": "fwd+inv_fft_like_pair", "n": n, "q_bits": 0,
+                   "batch": 32, "chain": CHAIN, "us_per_call": round(us, 4),
+                   "calls_per_sec": round(32 * CHAIN / dt, 1)}
+            if base_f and base_i:
+                row["ref_us_per_call"] = base_f + base_i
+                row["vs_baseline"] = round((base_f + base_i) / us, 3)
+            rows.append(row)
+            print(f"{'fwd+inv_fft_like_pair':24s} N={n:<6d} q=-   "
+                  f"batch=32   {us:10.3f} us/call  "
+                  f"{row.get('vs_baseline', '')}", flush=True)
+
+    # ---- KeySwitch (reference: experimental/seal, production shape) ----
+    if not args.quick:
+        from hexl_tpu.experimental.key_switch import key_switch
+        n, ds, kc = 1 << 14, 3, 2
+        kms, rns = ds + 1, ds + 1
+        moduli = nt.generate_primes(kms, 49, True, ntt_size=n)
+        qk = moduli[-1]
+        t_target = to_limbs(np.stack(
+            [rng.integers(0, q, n, np.uint64) for q in moduli[:ds]]))
+        keys_np = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                               dtype=np.uint64)
+        for j in range(ds):
+            for k in range(kc):
+                for m_i, q in enumerate(moduli):
+                    keys_np[j, k, m_i] %= np.uint64(q)
+        keys = to_limbs(keys_np)
+        msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+        res0 = to_limbs(np.stack(
+            [np.stack([rng.integers(0, q, n, np.uint64)
+                       for q in moduli[:ds]]) for _ in range(kc)]))
+
+        def ks_step(r, t, kk):
+            # result accumulates in-place semantics: output shape == input
+            return key_switch(r, t, n, ds, kms, rns, kc, moduli, kk, msf)
+
+        fn = _chained(lambda r: ks_step(r, t_target, keys))
+        dt = _time_dispatch(fn, (res0,), max(1, iters // 2))
+        us = dt / CHAIN * 1e6
+        base = baseline.get(("key_switch", n, 49))
+        row = {"kernel": "key_switch", "n": n, "q_bits": 49, "batch": 1,
+               "chain": CHAIN, "us_per_call": round(us, 4),
+               "calls_per_sec": round(CHAIN / dt, 1)}
+        if base:
+            row["ref_us_per_call"] = base
+            row["vs_baseline"] = round(base / us, 3)
+        rows.append(row)
+        print(f"{'key_switch':24s} N={n:<6d} q=49b batch=1    "
+              f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
+              flush=True)
+
+    # ---- Small-q eltwise regime (q < 2^30, single uint32 plane) ----
+    if not args.quick:
+        n, q_bits = 8192, 29
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        a, b = rand_u64(elt_batch, n, q), rand_u64(elt_batch, n, q)
+        record("eltwise_mult_mod", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, y, q=q: ek32_mult(x, y, q), (b,)),
+            (a,), iters))
+        record("eltwise_add_mod", n, q_bits, elt_batch, _time_dispatch(
+            _chained(lambda x, y, q=q: ek32_add(x, y, q), (b,)),
+            (a,), iters))
 
     print(f"\nplatform={jax.default_backend()}  "
           f"pallas={config.use_pallas()}  chain={CHAIN}  rows={len(rows)}")

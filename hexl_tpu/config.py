@@ -46,9 +46,26 @@ def approx_mulhi_disabled() -> bool:
     return _env_flag("HEXL_TPU_DISABLE_APPROX")
 
 
+def ntt_backend() -> str:
+    """Compute-body selection for the NTT/composite dispatchers.
+
+    Measured on the current v5e toolchain (round 2, dependent-chain
+    timings): XLA's own fusion of the staged bodies beats the hand-fused
+    Pallas kernels at EVERY size (16.6 vs 28.8 us per fwd+inv pair at
+    N=2^14/60-bit; 2.7 vs 16.3 us at N=2^10), so 'xla' is the default.
+    HEXL_TPU_NTT_BACKEND=pallas restores the fused kernels (the round-1
+    toolchain had the opposite ordering — re-measure per deployment).
+    """
+    import os
+    v = os.environ.get("HEXL_TPU_NTT_BACKEND", "xla").lower()
+    return v if v in ("xla", "pallas") else "xla"
+
+
 def use_pallas() -> bool:
-    """Pallas kernels run on TPU; interpret-mode elsewhere is opt-in only."""
-    if pallas_disabled():
+    """True when the fused Pallas bodies are selected AND runnable
+    (TPU backend, not kill-switched); interpret-mode elsewhere is
+    opt-in only."""
+    if pallas_disabled() or ntt_backend() != "pallas":
         return False
     return default_backend() == "tpu"
 

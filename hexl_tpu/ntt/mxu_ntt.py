@@ -455,12 +455,22 @@ def _final_value(lo_part: U64, r_top, plan, q: U64) -> U64:
 # per-point recombination work moves into Pallas.
 # ---------------------------------------------------------------------------
 
-def _pick_col_block(batch: int) -> int:
-    """Columns are (batch, n_in)-major; block k batch elements per step."""
-    for k in (4, 2, 1):
-        if batch % k == 0:
-            return k
-    return 1
+def _pick_col_block(batch: int, n_in: int) -> int:
+    """Columns are (batch, n_in)-major; block k batch elements per step.
+
+    Target at least one full 128-lane tile per block (small n_in packs
+    several batch elements side by side) without exceeding ~512 lanes.
+    """
+    best = 1
+    for k in range(1, batch + 1):
+        if batch % k:
+            continue
+        if k * n_in > 512:
+            break
+        best = k
+        if k * n_in >= 128 and k >= 4:
+            break
+    return best
 
 
 def _plane_slices(block, dw: int, n_out: int):
@@ -505,36 +515,43 @@ def _fold_twiddle_pallas(planes2d, plan, t_tab, rho_t_tab, n_out: int,
     from .. import config as _config
 
     dw, q_int = plan.dw, plan.q
-    k = _pick_col_block(batch)
+    k = _pick_col_block(batch, n_in)
     t_w, t_p = t_tab
     r_w, r_p = rho_t_tab
+
+    def tile_u64(u: U64) -> U64:
+        # Tables tiled to block width so the kernel stays strictly 2D
+        # (Mosaic cannot split the lane dim when n_in < 128).
+        # Tile along a NEW middle axis so element (o, j, i) = table[o, i]
+        # matches the block's (batch-major, n_in-minor) column layout.
+        if k == 1:
+            return u
+        return U64(jnp.broadcast_to(u.hi[:, None, :], (n_out, k, n_in))
+                   .reshape(n_out, k * n_in),
+                   jnp.broadcast_to(u.lo[:, None, :], (n_out, k, n_in))
+                   .reshape(n_out, k * n_in))
+
+    tw_t, tp_t = tile_u64(t_w), tile_u64(t_p)
+    rw_t, rp_t = tile_u64(r_w), tile_u64(r_p)
 
     def kernel(pl_ref, twh, twl, tph, tpl, rwh, rwl, rph, rpl,
                out_hi, out_lo):
         planes = _plane_slices(pl_ref[...], dw, n_out)
         lo_part, r_top = _carry_norm_rows(planes, dw)
-
-        def b3(u):                       # (n_out, k*n_in) -> (n_out,k,n_in)
-            return u.reshape(n_out, k, n_in)
-
-        lo_part = U64(b3(lo_part.hi), b3(lo_part.lo))
-        r_top = b3(r_top)
         q = const64(q_int)
-        tw = (U64(twh[...][:, None, :], twl[...][:, None, :]),
-              U64(tph[...][:, None, :], tpl[...][:, None, :]))
-        rw = (U64(rwh[...][:, None, :], rwl[...][:, None, :]),
-              U64(rph[...][:, None, :], rpl[...][:, None, :]))
+        tw = (U64(twh[...], twl[...]), U64(tph[...], tpl[...]))
+        rw = (U64(rwh[...], rwl[...]), U64(rph[...], rpl[...]))
         a = _shoup_tab(lo_part, tw, q)
         b = _shoup_tab(_u32_to_u64(r_top), rw, q)
         c = add64(a, b)
-        out_hi[...] = c.hi.reshape(n_out, k * n_in)
-        out_lo[...] = c.lo.reshape(n_out, k * n_in)
+        out_hi[...] = c.hi
+        out_lo[...] = c.lo
 
     x_spec = pl.BlockSpec((dw * n_out, k * n_in), lambda b: (0, b),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((n_out, k * n_in), lambda b: (0, b),
                           memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((n_out, n_in), lambda b: (0, 0),
+    t_spec = pl.BlockSpec((n_out, k * n_in), lambda b: (0, 0),
                           memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
@@ -547,8 +564,8 @@ def _fold_twiddle_pallas(planes2d, plan, t_tab, rho_t_tab, n_out: int,
         ),
         interpret=_config.default_backend() != "tpu",
     )
-    hi, lo = call(planes2d, t_w.hi, t_w.lo, t_p.hi, t_p.lo,
-                  r_w.hi, r_w.lo, r_p.hi, r_p.lo)
+    hi, lo = call(planes2d, tw_t.hi, tw_t.lo, tp_t.hi, tp_t.lo,
+                  rw_t.hi, rw_t.lo, rp_t.hi, rp_t.lo)
     return U64(hi.reshape(n_out, batch, n_in),
                lo.reshape(n_out, batch, n_in))
 
@@ -564,7 +581,7 @@ def _final_pallas(planes2d, plan, n_out: int, batch: int,
     dw, q_int = plan.dw, plan.q
     rho_wi, rho_pi = plan.rho, plan.rho_precon
     mu = plan.mu
-    k = _pick_col_block(batch)
+    k = _pick_col_block(batch, n_in)
 
     def kernel(pl_ref, out_hi, out_lo):
         planes = _plane_slices(pl_ref[...], dw, n_out)

@@ -148,35 +148,230 @@ def _store(hi_ref, lo_ref, v: U64) -> None:
     lo_ref[...] = v.lo
 
 
+# ---------------------------------------------------------------------------
+# Packed small-N bodies.
+#
+# At N <= 2^12 a polynomial's (rows, 128) view has rows <= 32, so the
+# transposed phase-B layout (tiles, 128, lane_l=rows) leaves a minor dim
+# far below the 128-lane tile — 15/16 of every vector op is padding at
+# N=2^10 (and phase A's (m, t, 128) splits pad t < 8 sublanes). The packed
+# bodies fold a block of kb polynomials into the MINOR axes instead:
+#
+#   phase A on (rows, kb*128)  — batch packed along lanes, splits on rows;
+#   phase B on (128, kb*rows)  — per-poly transposes packed side by side,
+#                                 twiddle tables tiled per poly (outside
+#                                 the kernel, as traced operands).
+#
+# Same stage math, same tables, full-lane utilization. This is the
+# VERDICT #2 "pack many small polynomials into one (rows, 128) tile"
+# design.
+# ---------------------------------------------------------------------------
+
+def _tile_b_tables(stages, kb: int):
+    """Tile phase-B twiddle tables per packed poly: (tiles, nb, L) ->
+    (nb, kb*L) (tiles == 1 for every packed size). Runs OUTSIDE the
+    kernel; results ride in as ordinary traced operands."""
+    out = []
+    for m, t, w, wp in stages:
+        def rep(u):
+            v = u[0]                      # (nb, L)
+            nb, L = v.shape
+            return jnp.broadcast_to(v[:, None, :], (nb, kb, L)).reshape(
+                nb, kb * L)
+        out.append((m, t, U64(rep(w.hi), rep(w.lo)),
+                    U64(rep(wp.hi), rep(wp.lo))))
+    return out
+
+def _packed_stage_kernel(plan, s_stages, kb: int, phase: str, omf: int,
+                         forward: bool):
+    """Build a pallas kernel running one packed phase on 2D blocks.
+
+    phase 'a': block (rows, kb*128), splits on the row axis;
+    phase 'b': block (128, kb*rows), splits on the 128 axis with tiled
+               per-poly tables.
+    The cross-layout transposes between phases run in XLA (cheap at these
+    sizes; Mosaic cannot lower a lane<->sublane 3D permutation here).
+    """
+    fwd_bfly, inv_bfly = _butterflies()
+    bfly = fwd_bfly if forward else inv_bfly
+    q_i = plan.q
+
+    def kernel(*refs):
+        s, i = _load_stages(s_stages, refs, 2)
+        q = const64(q_i)
+        two_q = const64(2 * q_i)
+        x = U64(refs[0][0], refs[1][0])   # drop the leading grid axis
+        if phase == "a":
+            for m, t, w, wp in s:
+                xs, ys, join = _split2(x, 0, m, t // LANES)
+                wb = U64(w.hi[:, :, None], w.lo[:, :, None])
+                wpb = U64(wp.hi[:, :, None], wp.lo[:, :, None])
+                nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
+                x = join(nx, ny)
+            if not forward:
+                # Final inverse stage (fused x N^{-1}) pairs row halves.
+                half = plan.rows // 2
+                xs = U64(x.hi[:half], x.lo[:half])
+                ys = U64(x.hi[half:], x.lo[half:])
+                nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+                hi = jnp.concatenate([nx.hi, ny.hi], axis=0)
+                lo = jnp.concatenate([nx.lo, ny.lo], axis=0)
+                x = U64(hi, lo)
+                if omf == 1:
+                    x = cond_sub64(x, q)
+        else:
+            for m, t, w, wp in s:
+                nb = LANES // (2 * t)
+                xs, ys, join = _split2(x, 0, nb, t)
+                wb = U64(w.hi[:, None, :], w.lo[:, None, :])
+                wpb = U64(wp.hi[:, None, :], wp.lo[:, None, :])
+                nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
+                x = join(nx, ny)
+            if forward and omf == 1:
+                x = reduce_mod_lazy64(x, q_i, 4)
+        refs[i][...] = x.hi[None]
+        refs[i + 1][...] = x.lo[None]
+
+    return kernel
+
+
+def _packed_call(kernel, x: U64, tw_planes, blocks: int, bshape):
+    x_spec = pl.BlockSpec((1,) + bshape, lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    tw_specs = [
+        pl.BlockSpec(p.shape, (lambda *_, nd=p.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for p in tw_planes
+    ]
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[x_spec, x_spec] + tw_specs,
+        out_specs=(x_spec, x_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((blocks,) + bshape, jnp.uint32),
+            jax.ShapeDtypeStruct((blocks,) + bshape, jnp.uint32),
+        ),
+    )(x.hi, x.lo, *tw_planes)
+    return U64(hi, lo)
+
+
+def _xla_phase_a(v: U64, plan: NttPlan, s_a, omf: int, forward: bool,
+                 q, two_q) -> U64:
+    """Row-stride stages on the packed (blocks, rows, kb*128) layout, as
+    plain XLA ops (Mosaic takes ~6 min to compile this phase as a packed
+    kernel — measured — while XLA compiles it in seconds and the extra
+    HBM round trips are negligible at these sizes)."""
+    fwd_bfly, inv_bfly = _butterflies()
+    bfly = fwd_bfly if forward else inv_bfly
+    for m, t, w, wp in s_a:
+        xs, ys, join = _split2(v, 1, m, t // LANES)
+        # Plan stage tables are 1-D (m,); broadcast to (m, 1, 1).
+        wb = U64(w.hi.reshape(-1, 1, 1), w.lo.reshape(-1, 1, 1))
+        wpb = U64(wp.hi.reshape(-1, 1, 1), wp.lo.reshape(-1, 1, 1))
+        nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
+        v = join(nx, ny)
+    if not forward:
+        half = plan.rows // 2
+        xs = U64(v.hi[:, :half], v.lo[:, :half])
+        ys = U64(v.hi[:, half:], v.lo[:, half:])
+        nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+        hi = jnp.concatenate([nx.hi, ny.hi], axis=1)
+        lo = jnp.concatenate([nx.lo, ny.lo], axis=1)
+        v = U64(hi, lo)
+        if omf == 1:
+            v = cond_sub64(v, q)
+    return v
+
+
+def _run_packed(x: U64, plan: NttPlan, omf: int, forward: bool,
+                batch: int, kb: int) -> U64:
+    """Packed small-N pipeline. Batch is folded into the minor axes so
+    every vector op runs on full 128-lane tiles (at N=2^10 the per-poly
+    layout wastes 15/16 of each lane tile — the round-1 parity gap).
+    Phase B (the lane-stride stages, 7 of 10 at N=2^10) runs as one
+    fused Pallas kernel; phase A and the cross transposes run in XLA."""
+    rows = plan.rows
+    blocks = batch // kb
+    shape = x.lo.shape
+    q = const64(plan.q)
+    two_q = const64(2 * plan.q)
+
+    def to_a(p):      # (batch, rows, 128) -> (blocks, rows, kb*128)
+        return p.reshape(blocks, kb, rows, LANES).transpose(
+            0, 2, 1, 3).reshape(blocks, rows, kb * LANES)
+
+    def from_a(p):    # inverse of to_a
+        return p.reshape(blocks, rows, kb, LANES).transpose(
+            0, 2, 1, 3).reshape(shape)
+
+    def a_to_b(p):    # (blocks, rows, kb*128) -> (blocks, 128, kb*rows)
+        return p.reshape(blocks, rows, kb, LANES).transpose(
+            0, 3, 2, 1).reshape(blocks, LANES, kb * rows)
+
+    def b_to_a(p):    # inverse of a_to_b
+        return p.reshape(blocks, LANES, kb, rows).transpose(
+            0, 3, 2, 1).reshape(blocks, rows, kb * LANES)
+
+    if forward:
+        s_a, s_b = plan.fwd_a, _tile_b_tables(plan.fwd_b, kb)
+    else:
+        s_b, s_a = _tile_b_tables(plan.inv_b, kb), plan.inv_a
+
+    pb = _stage_planes(s_b)
+    kb_k = _packed_stage_kernel(plan, s_b, kb, "b", omf, forward)
+
+    v = U64(to_a(x.hi), to_a(x.lo))
+    if forward:
+        v = _xla_phase_a(v, plan, s_a, omf, True, q, two_q)
+        v = U64(a_to_b(v.hi), a_to_b(v.lo))
+        v = _packed_call(kb_k, v, pb, blocks, (LANES, kb * rows))
+        v = U64(b_to_a(v.hi), b_to_a(v.lo))
+    else:
+        v = U64(a_to_b(v.hi), a_to_b(v.lo))
+        v = _packed_call(kb_k, v, pb, blocks, (LANES, kb * rows))
+        v = U64(b_to_a(v.hi), b_to_a(v.lo))
+        v = _xla_phase_a(v, plan, s_a, omf, False, q, two_q)
+    return U64(from_a(v.hi), from_a(v.lo))
+
+
 def _phase_b_tilewise(plan, s1, tt, bfly, q, two_q):
     """Run the lane-stride stages tile by tile in the transposed scratch:
     phase-B butterflies never cross tiles, so per-tile processing divides
     the live temporary set by plan.tiles (the binding constraint for the
-    scoped-vmem ceiling at large N)."""
+    scoped-vmem ceiling at large N). Scratch carries a leading batch-block
+    axis: (kb, tiles, LANES, lane_l)."""
     thi, tlo = tt
     for ti in range(plan.tiles):
-        xv = U64(thi[ti], tlo[ti])          # (LANES, lane_l)
+        xv = U64(thi[:, ti], tlo[:, ti])    # (kb, LANES, lane_l)
         for m, t, w, wp in s1:
             nb = LANES // (2 * t)
-            xs, ys, join = _split2(xv, 0, nb, t)
-            wt = U64(w.hi[ti][:, None, :], w.lo[ti][:, None, :])
-            wpt = U64(wp.hi[ti][:, None, :], wp.lo[ti][:, None, :])
+            xs, ys, join = _split2(xv, 1, nb, t)
+            wt = U64(w.hi[ti][None, :, None, :],
+                     w.lo[ti][None, :, None, :])
+            wpt = U64(wp.hi[ti][None, :, None, :],
+                      wp.lo[ti][None, :, None, :])
             nx, ny = bfly(xs, ys, wt, wpt, q, two_q)
             xv = join(nx, ny)
-        thi[ti] = xv.hi
-        tlo[ti] = xv.lo
+        thi[:, ti] = xv.hi
+        tlo[:, ti] = xv.lo
+
+
+def _bcast_a3(w: U64) -> U64:
+    """Phase-A twiddle (m, 1) -> (1, m, 1, 1) (leading batch-block)."""
+    return U64(w.hi[None, :, :, None], w.lo[None, :, :, None])
 
 
 def _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q, two_q):
     """Forward stages with per-stage writeback to scratch refs rr/tt
-    ((rows,LANES) and transposed (tiles,LANES,L)) — bounds Mosaic's live
-    temporaries to one stage (see PALLAS_MAX_N note)."""
+    ((kb,rows,LANES) and transposed (kb,tiles,LANES,L)) — bounds Mosaic's
+    live temporaries to one stage (see PALLAS_MAX_N note)."""
     rhi, rlo = rr
     thi, tlo = tt
     for m, t, w, wp in s0:
         xv = U64(rhi[...], rlo[...])
-        xs, ys, join = _split2(xv, 0, m, t // LANES)
-        nx, ny = fwd_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        xs, ys, join = _split2(xv, 1, m, t // LANES)
+        nx, ny = fwd_bfly(xs, ys, _bcast_a3(w), _bcast_a3(wp), q, two_q)
         _store(rhi, rlo, join(nx, ny))
     xt = _transpose_tiles(U64(rhi[...], rlo[...]), plan.tiles, plan.lane_l)
     _store(thi, tlo, xt)
@@ -199,24 +394,24 @@ def _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q, two_q):
     _store(rhi, rlo, _untranspose_tiles(U64(thi[...], tlo[...]), plan.rows))
     for m, t, w, wp in s1:
         xv = U64(rhi[...], rlo[...])
-        xs, ys, join = _split2(xv, 0, m, t // LANES)
-        nx, ny = inv_bfly(xs, ys, _bcast_a(w), _bcast_a(wp), q, two_q)
+        xs, ys, join = _split2(xv, 1, m, t // LANES)
+        nx, ny = inv_bfly(xs, ys, _bcast_a3(w), _bcast_a3(wp), q, two_q)
         _store(rhi, rlo, join(nx, ny))
     # Final stage fused with N^{-1}, written back half-by-half to keep
     # the live set small (the concatenating form pushes N=2^16 over the
     # scoped-vmem limit).
     half = plan.rows // 2
-    xs = U64(rhi[:half, :], rlo[:half, :])
-    ys = U64(rhi[half:, :], rlo[half:, :])
+    xs = U64(rhi[:, :half, :], rlo[:, :half, :])
+    ys = U64(rhi[:, half:, :], rlo[:, half:, :])
     nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
     if omf == 1:
         nx = cond_sub64(nx, q)
-    rhi[:half, :] = nx.hi
-    rlo[:half, :] = nx.lo
+    rhi[:, :half, :] = nx.hi
+    rlo[:, :half, :] = nx.lo
     if omf == 1:
         ny = cond_sub64(ny, q)
-    rhi[half:, :] = ny.hi
-    rlo[half:, :] = ny.lo
+    rhi[:, half:, :] = ny.hi
+    rlo[:, half:, :] = ny.lo
     return U64(rhi[...], rlo[...])
 
 
@@ -233,7 +428,6 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
         stages = (plan.fwd_a, plan.fwd_b)
     else:
         stages = (plan.inv_b, plan.inv_a)
-    tw_planes = _stage_planes(stages[0]) + _stage_planes(stages[1])
 
     # The functional body is ~9% faster (no scratch copies) but keeps all
     # stage temporaries live; it fits the scoped-vmem limit up to 2^15.
@@ -244,9 +438,29 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
     # independently.)
     use_refs = n > (1 << 15)
 
+    # Small transforms are grid-overhead bound (N=2^10 spends ~7 us/step
+    # on ~0.6 Mops of work). Pack several polynomials per grid step,
+    # capped so the block's TOTAL rows stay at 64 — 128 rows OOMs the
+    # Mosaic VMEM stack (measured 19.07M vs the 16M scoped limit at
+    # N=2^10, kb=16). The inverse FUNCTIONAL body keeps far more live
+    # (34.5M at kb=8), so batched inverse blocks run through the
+    # per-stage-writeback body instead.
+    # Small N: route to the packed two-kernel pipeline (full-lane tiles).
+    if rows <= 32 and batch > 1:
+        kb = min(batch, max(1, 128 // rows))
+        while batch % kb:
+            kb -= 1
+        if kb > 1:
+            out = _run_packed(x3, plan, omf, forward, batch, kb)
+            return U64(out.hi.reshape(shape), out.lo.reshape(shape))
+
+    kb = 1
+    s_meta = stages
+    tw_planes = _stage_planes(s_meta[0]) + _stage_planes(s_meta[1])
+
     def kernel(*refs):
-        s0, i = _load_stages(stages[0], refs, 2)
-        s1, i = _load_stages(stages[1], refs, i)
+        s0, i = _load_stages(s_meta[0], refs, 2)
+        s1, i = _load_stages(s_meta[1], refs, i)
         if not use_refs:
             xv = U64(refs[0][...], refs[1][...])
             if forward:
@@ -262,18 +476,18 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
         ohi, olo = refs[i], refs[i + 1]
         rr = (refs[i + 2], refs[i + 3])
         tt = (refs[i + 4], refs[i + 5])
-        rr[0][...] = refs[0][0]
-        rr[1][...] = refs[1][0]
+        rr[0][...] = refs[0][...]
+        rr[1][...] = refs[1][...]
         if forward:
             out = _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q,
                                 two_q)
         else:
             out = _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q,
                                 two_q)
-        ohi[...] = out.hi[None]
-        olo[...] = out.lo[None]
+        ohi[...] = out.hi
+        olo[...] = out.lo
 
-    x_spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
+    x_spec = pl.BlockSpec((kb, rows, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     tw_specs = [
         pl.BlockSpec(p.shape, (lambda *_, nd=p.ndim: (0,) * nd),
@@ -282,7 +496,7 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
     ]
     out_hi, out_lo = pl.pallas_call(
         kernel,
-        grid=(batch,),
+        grid=(batch // kb,),
         in_specs=[x_spec, x_spec] + tw_specs,
         out_specs=(x_spec, x_spec),
         out_shape=(
@@ -292,10 +506,10 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
         # Scratch only exists for the writeback body; the functional body
         # must not reserve ~16N bytes of the scoped-vmem budget for nothing.
         scratch_shapes=([
-            pltpu.VMEM((rows, LANES), jnp.uint32),
-            pltpu.VMEM((rows, LANES), jnp.uint32),
-            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
-            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
+            pltpu.VMEM((kb, rows, LANES), jnp.uint32),
+            pltpu.VMEM((kb, rows, LANES), jnp.uint32),
+            pltpu.VMEM((kb, plan.tiles, LANES, plan.lane_l), jnp.uint32),
+            pltpu.VMEM((kb, plan.tiles, LANES, plan.lane_l), jnp.uint32),
         ] if use_refs else []),
     )(x3.hi, x3.lo, *tw_planes)
     return U64(out_hi.reshape(shape), out_lo.reshape(shape))

@@ -303,3 +303,30 @@ def test_poly_mult_mixed_operand_forms():
     out = poly_mult_mod(to_limbs(a), to_limbs(b), n, q)
     assert isinstance(out, U64)
     np.testing.assert_array_equal(from_limbs(out), exp)
+
+
+def test_pallas_batch_blocked_small_n(monkeypatch):
+    """Small-N fused kernels pack several polys per grid step (kb > 1);
+    interpret mode checks the blocked layout against the oracle."""
+    import functools
+    from jax.experimental import pallas as pl
+    from hexl_tpu import nt as _nt, ref as _ref
+    from hexl_tpu.limb import from_limbs as _fl, to_limbs as _tl
+    from hexl_tpu.ntt import get_plan as _gp, pallas_ntt as _pn
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call,
+                                             interpret=True))
+    for n in (1 << 10, 1 << 12):
+        q = _nt.generate_primes(1, 49, True, ntt_size=n)[0]
+        plan = _gp(n, q)
+        rng = np.random.default_rng(n)
+        x = rng.integers(0, q, size=(32, n), dtype=np.uint64)  # kb > 1
+        rop, irop, _ = _ref.root_of_unity_powers(n, q, plan.root)
+        prop, pirop = _ref.precon64(rop, q), _ref.precon64(irop, q)
+        want = np.stack([_ref.fwd_ntt_radix2(v, q, rop, prop, 1, 1)
+                         for v in x])
+        got = _fl(_pn.fwd_ntt(_tl(x), plan, 1, 1))
+        np.testing.assert_array_equal(got % q, want)
+        back = _fl(_pn.inv_ntt(_tl(got % q), plan, 1, 1))
+        np.testing.assert_array_equal(back, x)
