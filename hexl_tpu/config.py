@@ -91,3 +91,15 @@ def dist_overlap_slices() -> int:
         return int(os.environ.get("HEXL_TPU_DIST_OVERLAP", "0"))
     except ValueError:
         return 0
+
+
+def ntt_radix() -> int:
+    """Stage walker for the XLA NTT bodies: 2 (default) or 4.
+
+    Radix-4 fuses two butterfly stages per materialization (the XLA path
+    is stage-round-trip bound); HEXL_TPU_NTT_RADIX=4 enables it. The
+    reference ships radix-4 for the same reason on CPU caches
+    (hexl/ntt/ntt-radix-4.cpp).
+    """
+    import os
+    return 4 if os.environ.get("HEXL_TPU_NTT_RADIX", "2") == "4" else 2

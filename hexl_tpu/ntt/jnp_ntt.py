@@ -170,27 +170,118 @@ def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return x
 
 
+def _split4(x: U64, axis: int, m: int, quarter: int):
+    """Reshape one axis of size m*4*quarter into (m, 4, quarter) and
+    return the four quarter sub-arrays plus a reassembly closure (the
+    radix-4 analogue of _split2: one concat per TWO butterfly stages,
+    halving the per-stage materializations the radix-2 walker pays)."""
+    def reshape_plane(p):
+        shape = p.shape
+        return p.reshape(shape[:axis] + (m, 4 * quarter) + shape[axis + 1:])
+    hi = reshape_plane(x.hi)
+    lo = reshape_plane(x.lo)
+    qs = []
+    for k in range(4):
+        sl = [slice(None)] * hi.ndim
+        sl[axis + 1] = slice(k * quarter, (k + 1) * quarter)
+        qs.append(U64(hi[tuple(sl)], lo[tuple(sl)]))
+
+    def reassemble(q0, q1, q2, q3):
+        h = jnp.concatenate([q0.hi, q1.hi, q2.hi, q3.hi], axis=axis + 1)
+        l = jnp.concatenate([q0.lo, q1.lo, q2.lo, q3.lo], axis=axis + 1)
+        orig = h.shape[:axis] + (m * 4 * quarter,) + h.shape[axis + 2:]
+        return U64(h.reshape(orig), l.reshape(orig))
+
+    return qs, reassemble
+
+
+def _fwd_radix4_step(qs, w1, wp1, w2a, wp2a, w2b, wp2b, q, two_q):
+    """Two forward radix-2 levels fused (Harvey radix-4; reference:
+    FwdButterflyRadix4, hexl/ntt/ntt-default.hpp:63-95). Inputs/outputs
+    in [0, 4q); bit-exact equal to applying the two stages sequentially."""
+    q0, q1, q2, q3 = qs
+    # Level 1 (stride 2*quarter): (q0,q2) and (q1,q3) with w1.
+    a0, c0 = _fwd_butterfly(q0, q2, w1, wp1, q, two_q)
+    b0, d0 = _fwd_butterfly(q1, q3, w1, wp1, q, two_q)
+    # Level 2 (stride quarter): (a,b) with w2 even, (c,d) with w2 odd.
+    a1, b1 = _fwd_butterfly(a0, b0, w2a, wp2a, q, two_q)
+    c1, d1 = _fwd_butterfly(c0, d0, w2b, wp2b, q, two_q)
+    return a1, b1, c1, d1
+
+
+def _even_odd_a(w: U64, m: int):
+    """Stage-(2m) phase-A table (2m,) -> even/odd halves as (m,1,1)."""
+    hi = w.hi.reshape(m, 2)
+    lo = w.lo.reshape(m, 2)
+    return (U64(hi[:, 0][:, None, None], lo[:, 0][:, None, None]),
+            U64(hi[:, 1][:, None, None], lo[:, 1][:, None, None]))
+
+
+def _even_odd_b(w: U64, nb: int):
+    """Stage-(2nb) phase-B table (tiles, 2nb, L) -> even/odd as
+    (tiles, nb, 1, L)."""
+    hi = w.hi.reshape(w.hi.shape[0], nb, 2, w.hi.shape[2])
+    lo = w.lo.reshape(w.lo.shape[0], nb, 2, w.lo.shape[2])
+    return (U64(hi[:, :, 0][:, :, None, :], lo[:, :, 0][:, :, None, :]),
+            U64(hi[:, :, 1][:, :, None, :], lo[:, :, 1][:, :, None, :]))
+
+
 def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    from .. import config as _config
     n, rows = plan.n, plan.rows
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
-    # Phase A: strides >= 128 pair row blocks.
-    for m, t, w, wp in plan.fwd_a:
+    radix4 = _config.ntt_radix() == 4
+    # Phase A: strides >= 128 pair row blocks; radix-4 walks stage PAIRS
+    # (one materialization per two stages — the XLA path is stage-round-
+    # trip bound, so this halves phase-A HBM traffic).
+    stages_a = list(plan.fwd_a)
+    i = 0
+    while i < len(stages_a):
+        m, t, w, wp = stages_a[i]
+        if radix4 and i + 1 < len(stages_a):
+            m2, t2, w2, wp2 = stages_a[i + 1]
+            quarter = t2 // LANES
+            qs, join = _split4(x, row_axis, m, quarter)
+            w2a, w2b = _even_odd_a(w2, m2 // 2)
+            wp2a, wp2b = _even_odd_a(wp2, m2 // 2)
+            outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "a"),
+                                    _bcast_w(wp, 0, "a"),
+                                    w2a, wp2a, w2b, wp2b, q, two_q)
+            x = join(*outs)
+            i += 2
+            continue
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
         nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "a"),
                                 _bcast_w(wp, 0, "a"), q, two_q)
         x = join(nx, ny)
+        i += 1
     # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
     c_axis = x.lo.ndim - 2
-    for m, t, w, wp in plan.fwd_b:
+    stages_b = list(plan.fwd_b)
+    i = 0
+    while i < len(stages_b):
+        m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
+        if radix4 and i + 1 < len(stages_b):
+            m2, t2, w2, wp2 = stages_b[i + 1]
+            qs, join = _split4(x, c_axis, nb, t2)
+            w2a, w2b = _even_odd_b(w2, nb * 2 // 2)
+            wp2a, wp2b = _even_odd_b(wp2, nb * 2 // 2)
+            outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "b"),
+                                    _bcast_w(wp, 0, "b"),
+                                    w2a, wp2a, w2b, wp2b, q, two_q)
+            x = join(*outs)
+            i += 2
+            continue
         xs, ys, join = _split2(x, c_axis, nb, t)
         nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "b"),
                                 _bcast_w(wp, 0, "b"), q, two_q)
         x = join(nx, ny)
+        i += 1
     x = _untranspose_tiles(x, rows)
     return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 

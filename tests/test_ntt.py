@@ -330,3 +330,22 @@ def test_pallas_batch_blocked_small_n(monkeypatch):
         np.testing.assert_array_equal(got % q, want)
         back = _fl(_pn.inv_ntt(_tl(got % q), plan, 1, 1))
         np.testing.assert_array_equal(back, x)
+
+
+def test_radix4_walker_bit_exact(monkeypatch):
+    """The radix-4 stage pairing must produce BIT-identical outputs to
+    the radix-2 walker (same math, same order — only the materialization
+    grouping differs). Reference: ntt-radix-4.cpp vs ntt-radix-2.cpp."""
+    import hexl_tpu.config as _cfg
+    from hexl_tpu.ntt import get_plan, jnp_ntt
+    from hexl_tpu.limb import from_limbs, to_limbs
+    for n, bits in ((1 << 12, 49), (1 << 13, 60)):
+        q = nt.generate_primes(1, bits, True, ntt_size=n)[0]
+        plan = get_plan(n, q)
+        rng = np.random.default_rng(n)
+        x = rng.integers(0, 4 * q, size=(3, n), dtype=np.uint64)
+        want = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x), plan, 4, 4))
+        monkeypatch.setattr(_cfg, "ntt_radix", lambda: 4)
+        got = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x), plan, 4, 4))
+        monkeypatch.setattr(_cfg, "ntt_radix", lambda: 2)
+        np.testing.assert_array_equal(got, want)
