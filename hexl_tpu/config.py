@@ -105,3 +105,16 @@ def ntt_radix() -> int:
     """
     import os
     return 2 if os.environ.get("HEXL_TPU_NTT_RADIX", "4") == "2" else 4
+
+
+def approx_butterflies() -> bool:
+    """Approximate-mulhi Shoup butterflies in the device NTT bodies.
+
+    Mirrors the reference's hardware dispatch semantics: its AVX512-64
+    lanes use approx-mulhi (values mod-q equal to native, lazy outputs
+    not bit-identical, avx512-util.hpp:153-185) while the native path is
+    exact. Here: approx on the TPU backend (measured -11% pair time at
+    N=2^14), exact on CPU (where the XLA body doubles as the
+    bit-exactness oracle). HEXL_TPU_DISABLE_APPROX=1 forces exact.
+    """
+    return not approx_mulhi_disabled() and default_backend() == "tpu"

@@ -74,6 +74,16 @@ def _inv_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
     return tx, _shoup_approx(ty, w, wp, q, two_q)
 
 
+def _bflys():
+    """Butterfly pair for the XLA bodies: approximate-mulhi Shoup on the
+    TPU backend (reference AVX512-64 semantics, -11%% pair time measured),
+    exact elsewhere (config.approx_butterflies)."""
+    from .. import config as _config
+    if _config.approx_butterflies():
+        return _fwd_butterfly_approx, _inv_butterfly_approx
+    return _fwd_butterfly, _inv_butterfly
+
+
 def _split2(x: U64, axis: int, m: int, t: int) -> tuple:
     """Reshape one axis of size m*2t into (m, 2t) and return the X half
     (first t) and Y half (last t) of each block, plus a reassembly closure.
@@ -155,6 +165,7 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
 
 
 def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    fwd_bfly, _ = _bflys()
     n = plan.n
     m = 1
     while m < n:
@@ -164,7 +175,7 @@ def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
         wp = U64(plan.prop_dev.hi[m:2 * m], plan.prop_dev.lo[m:2 * m])
         w = U64(w.hi[:, None], w.lo[:, None])
         wp = U64(wp.hi[:, None], wp.lo[:, None])
-        nx, ny = _fwd_butterfly(xs, ys, w, wp, q, two_q)
+        nx, ny = fwd_bfly(xs, ys, w, wp, q, two_q)
         x = join(nx, ny)
         m *= 2
     return x
@@ -195,17 +206,18 @@ def _split4(x: U64, axis: int, m: int, quarter: int):
     return qs, reassemble
 
 
-def _fwd_radix4_step(qs, w1, wp1, w2a, wp2a, w2b, wp2b, q, two_q):
+def _fwd_radix4_step(qs, w1, wp1, w2a, wp2a, w2b, wp2b, q, two_q, bfly):
     """Two forward radix-2 levels fused (Harvey radix-4; reference:
     FwdButterflyRadix4, hexl/ntt/ntt-default.hpp:63-95). Inputs/outputs
-    in [0, 4q); bit-exact equal to applying the two stages sequentially."""
+    in [0, 4q); bit-exact equal to applying the two stages sequentially
+    with the same butterfly."""
     q0, q1, q2, q3 = qs
     # Level 1 (stride 2*quarter): (q0,q2) and (q1,q3) with w1.
-    a0, c0 = _fwd_butterfly(q0, q2, w1, wp1, q, two_q)
-    b0, d0 = _fwd_butterfly(q1, q3, w1, wp1, q, two_q)
+    a0, c0 = bfly(q0, q2, w1, wp1, q, two_q)
+    b0, d0 = bfly(q1, q3, w1, wp1, q, two_q)
     # Level 2 (stride quarter): (a,b) with w2 even, (c,d) with w2 odd.
-    a1, b1 = _fwd_butterfly(a0, b0, w2a, wp2a, q, two_q)
-    c1, d1 = _fwd_butterfly(c0, d0, w2b, wp2b, q, two_q)
+    a1, b1 = bfly(a0, b0, w2a, wp2a, q, two_q)
+    c1, d1 = bfly(c0, d0, w2b, wp2b, q, two_q)
     return a1, b1, c1, d1
 
 
@@ -233,6 +245,7 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
+    fwd_bfly, _ = _bflys()
     radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
     # Phase A: strides >= 128 pair row blocks; radix-4 walks stage PAIRS
     # (one materialization per two stages — the XLA path is stage-round-
@@ -249,13 +262,14 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
             wp2a, wp2b = _even_odd_a(wp2, m2 // 2)
             outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "a"),
                                     _bcast_w(wp, 0, "a"),
-                                    w2a, wp2a, w2b, wp2b, q, two_q)
+                                    w2a, wp2a, w2b, wp2b, q, two_q,
+                                    fwd_bfly)
             x = join(*outs)
             i += 2
             continue
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "a"),
-                                _bcast_w(wp, 0, "a"), q, two_q)
+        nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "a"),
+                          _bcast_w(wp, 0, "a"), q, two_q)
         x = join(nx, ny)
         i += 1
     # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
@@ -273,13 +287,14 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
             wp2a, wp2b = _even_odd_b(wp2, nb * 2 // 2)
             outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "b"),
                                     _bcast_w(wp, 0, "b"),
-                                    w2a, wp2a, w2b, wp2b, q, two_q)
+                                    w2a, wp2a, w2b, wp2b, q, two_q,
+                                    fwd_bfly)
             x = join(*outs)
             i += 2
             continue
         xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = _fwd_butterfly(xs, ys, _bcast_w(w, 0, "b"),
-                                _bcast_w(wp, 0, "b"), q, two_q)
+        nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "b"),
+                          _bcast_w(wp, 0, "b"), q, two_q)
         x = join(nx, ny)
         i += 1
     x = _untranspose_tiles(x, rows)
@@ -320,6 +335,7 @@ def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
 
 
 def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    _, inv_bfly = _bflys()
     n = plan.n
     axis = x.lo.ndim - 1
     root_index = 1
@@ -333,7 +349,7 @@ def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
                  plan.pirop_dev.lo[root_index:root_index + m])
         w = U64(w.hi[:, None], w.lo[:, None])
         wp = U64(wp.hi[:, None], wp.lo[:, None])
-        nx, ny = _inv_butterfly(xs, ys, w, wp, q, two_q)
+        nx, ny = inv_bfly(xs, ys, w, wp, q, two_q)
         x = join(nx, ny)
         root_index += m
         t *= 2
@@ -342,16 +358,16 @@ def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return join(nx, ny)
 
 
-def _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b, w2, wp2, q, two_q):
+def _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b, w2, wp2, q, two_q, bfly):
     """Two inverse radix-2 levels fused (mirror of _fwd_radix4_step;
     reference: InvButterflyRadix4, ntt-default.hpp:128-156)."""
     q0, q1, q2, q3 = qs
     # Level 1 (stride quarter): (q0,q1) w1 even, (q2,q3) w1 odd.
-    a0, b0 = _inv_butterfly(q0, q1, w1a, wp1a, q, two_q)
-    c0, d0 = _inv_butterfly(q2, q3, w1b, wp1b, q, two_q)
+    a0, b0 = bfly(q0, q1, w1a, wp1a, q, two_q)
+    c0, d0 = bfly(q2, q3, w1b, wp1b, q, two_q)
     # Level 2 (stride 2*quarter): (a,c) and (b,d) share w2.
-    a1, c1 = _inv_butterfly(a0, c0, w2, wp2, q, two_q)
-    b1, d1 = _inv_butterfly(b0, d0, w2, wp2, q, two_q)
+    a1, c1 = bfly(a0, c0, w2, wp2, q, two_q)
+    b1, d1 = bfly(b0, d0, w2, wp2, q, two_q)
     return a1, b1, c1, d1
 
 
@@ -361,6 +377,7 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
+    _, inv_bfly = _bflys()
     radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
     # Phase B first (strides 1..64) in the transposed layout.
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
@@ -377,13 +394,14 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
             wp1a, wp1b = _even_odd_b(wp, nb // 2)
             outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
                                     _bcast_w(w2, 0, "b"),
-                                    _bcast_w(wp2, 0, "b"), q, two_q)
+                                    _bcast_w(wp2, 0, "b"), q, two_q,
+                                    inv_bfly)
             x = join(*outs)
             i += 2
             continue
         xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "b"),
-                                _bcast_w(wp, 0, "b"), q, two_q)
+        nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "b"),
+                          _bcast_w(wp, 0, "b"), q, two_q)
         x = join(nx, ny)
         i += 1
     x = _untranspose_tiles(x, rows)
@@ -400,13 +418,14 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
             wp1a, wp1b = _even_odd_a(wp, m // 2)
             outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
                                     _bcast_w(w2, 0, "a"),
-                                    _bcast_w(wp2, 0, "a"), q, two_q)
+                                    _bcast_w(wp2, 0, "a"), q, two_q,
+                                    inv_bfly)
             x = join(*outs)
             i += 2
             continue
         xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = _inv_butterfly(xs, ys, _bcast_w(w, 0, "a"),
-                                _bcast_w(wp, 0, "a"), q, two_q)
+        nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "a"),
+                          _bcast_w(wp, 0, "a"), q, two_q)
         x = join(nx, ny)
         i += 1
     # Final fused stage pairs row r with row r + R/2.
