@@ -94,17 +94,19 @@ def dist_overlap_slices() -> int:
 
 
 def ntt_radix() -> int:
-    """Stage walker for the XLA NTT bodies: 4 (default) or 2.
+    """Stage walker for the XLA NTT bodies: 2, 4, or 8 (default 4).
 
-    Radix-4 fuses two butterfly stages per materialization (the XLA path
-    is stage-round-trip bound): measured +13% on the N=2^14 forward,
-    neutral at N=2^10 (the bodies only pair stages when N >= 2^13). The
-    reference ships radix-4 for the same cache-traffic reason
-    (hexl/ntt/ntt-radix-4.cpp). HEXL_TPU_NTT_RADIX=2 restores the
-    radix-2 walker.
+    Higher radix fuses 2-3 butterfly stages per materialization (the XLA
+    path is stage-round-trip bound). Measured on v5e, N=2^14/60-bit pair:
+    radix-2 13.3 us, radix-4 11.9 us (-11%), radix-8 13.0 us (the 8-way
+    concat costs more than the saved round trip) — radix-4 is the
+    default; N < 2^13 always walks radix-2 (fusion is neutral there).
+    The reference ships radix-4 for the same cache-traffic reason
+    (hexl/ntt/ntt-radix-4.cpp). Override: HEXL_TPU_NTT_RADIX=2|4|8.
     """
     import os
-    return 2 if os.environ.get("HEXL_TPU_NTT_RADIX", "4") == "2" else 4
+    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4")
+    return {"2": 2, "8": 8}.get(v, 4)
 
 
 def approx_butterflies() -> bool:

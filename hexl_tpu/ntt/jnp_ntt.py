@@ -221,6 +221,80 @@ def _fwd_radix4_step(qs, w1, wp1, w2a, wp2a, w2b, wp2b, q, two_q, bfly):
     return a1, b1, c1, d1
 
 
+def _splitk(x: U64, axis: int, m: int, k: int, part: int):
+    """Reshape one axis of size m*k*part into (m, k, part) and return the
+    k part sub-arrays plus a reassembly closure (radix-2^log2(k) walker:
+    one concat per log2(k) butterfly stages)."""
+    def reshape_plane(p):
+        shape = p.shape
+        return p.reshape(shape[:axis] + (m, k * part) + shape[axis + 1:])
+    hi = reshape_plane(x.hi)
+    lo = reshape_plane(x.lo)
+    parts = []
+    for j in range(k):
+        sl = [slice(None)] * hi.ndim
+        sl[axis + 1] = slice(j * part, (j + 1) * part)
+        parts.append(U64(hi[tuple(sl)], lo[tuple(sl)]))
+
+    def reassemble(*outs):
+        h = jnp.concatenate([o.hi for o in outs], axis=axis + 1)
+        l = jnp.concatenate([o.lo for o in outs], axis=axis + 1)
+        orig = h.shape[:axis] + (m * k * part,) + h.shape[axis + 2:]
+        return U64(h.reshape(orig), l.reshape(orig))
+
+    return parts, reassemble
+
+
+def _fwd_radix8_step(es, w1, wp1, w2, wp2, w3, wp3, q, two_q, bfly):
+    """Three forward radix-2 levels fused. w1 broadcast per block;
+    w2 = (even, odd) pair; w3 = 4-tuple of interleaved quarters.
+    Bit-exact equal to the three stages applied sequentially."""
+    e = list(es)
+    # Level 1 (stride 4*part): (e_i, e_{i+4}) share w1.
+    for i in range(4):
+        e[i], e[i + 4] = bfly(e[i], e[i + 4], w1, wp1, q, two_q)
+    # Level 2 (stride 2*part): halves use w2 even/odd.
+    for base, wi, wpi in ((0, w2[0], wp2[0]), (4, w2[1], wp2[1])):
+        for i in (base, base + 1):
+            e[i], e[i + 2] = bfly(e[i], e[i + 2], wi, wpi, q, two_q)
+    # Level 3 (stride part): adjacent pairs use w3 quarters.
+    for j in range(4):
+        i = 2 * j
+        e[i], e[i + 1] = bfly(e[i], e[i + 1], w3[j], wp3[j], q, two_q)
+    return e
+
+
+def _inv_radix8_step(es, w1, wp1, w2, wp2, w3, wp3, q, two_q, bfly):
+    """Three inverse radix-2 levels fused (ascending strides): w1 =
+    4-tuple (innermost stage), w2 = (even, odd), w3 broadcast."""
+    e = list(es)
+    for j in range(4):
+        i = 2 * j
+        e[i], e[i + 1] = bfly(e[i], e[i + 1], w1[j], wp1[j], q, two_q)
+    for base, wi, wpi in ((0, w2[0], wp2[0]), (4, w2[1], wp2[1])):
+        for i in (base, base + 1):
+            e[i], e[i + 2] = bfly(e[i], e[i + 2], wi, wpi, q, two_q)
+    for i in range(4):
+        e[i], e[i + 4] = bfly(e[i], e[i + 4], w3, wp3, q, two_q)
+    return e
+
+
+def _quads_a(w: U64, m: int):
+    """Stage-(4m) phase-A table (4m,) -> 4 interleaved (m,1,1) slices."""
+    hi = w.hi.reshape(m, 4)
+    lo = w.lo.reshape(m, 4)
+    return [U64(hi[:, j][:, None, None], lo[:, j][:, None, None])
+            for j in range(4)]
+
+
+def _quads_b(w: U64, nb: int):
+    """Stage table (tiles, 4nb, L) -> 4 interleaved (tiles, nb, 1, L)."""
+    hi = w.hi.reshape(w.hi.shape[0], nb, 4, w.hi.shape[2])
+    lo = w.lo.reshape(w.lo.shape[0], nb, 4, w.lo.shape[2])
+    return [U64(hi[:, :, j][:, :, None, :], lo[:, :, j][:, :, None, :])
+            for j in range(4)]
+
+
 def _even_odd_a(w: U64, m: int):
     """Stage-(2m) phase-A table (2m,) -> even/odd halves as (m,1,1)."""
     hi = w.hi.reshape(m, 2)
@@ -246,18 +320,34 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
     fwd_bfly, _ = _bflys()
-    radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
-    # Phase A: strides >= 128 pair row blocks; radix-4 walks stage PAIRS
-    # (one materialization per two stages — the XLA path is stage-round-
-    # trip bound, so this halves phase-A HBM traffic).
+    radix = _config.ntt_radix() if n >= (1 << 13) else 2
+    # Phase A: strides >= 128 pair row blocks; the radix-4/8 walkers fuse
+    # 2/3 stages per materialization (the XLA path is stage-round-trip
+    # bound, so this divides phase HBM traffic by the fusion factor).
     stages_a = list(plan.fwd_a)
     i = 0
     while i < len(stages_a):
         m, t, w, wp = stages_a[i]
-        if radix4 and i + 1 < len(stages_a):
+        take = 1
+        if radix >= 8 and i + 2 < len(stages_a):
+            take = 3
+        elif radix >= 4 and i + 1 < len(stages_a):
+            take = 2
+        if take == 3:
             m2, t2, w2, wp2 = stages_a[i + 1]
-            quarter = t2 // LANES
-            qs, join = _split4(x, row_axis, m, quarter)
+            m3, t3, w3, wp3 = stages_a[i + 2]
+            es, join = _splitk(x, row_axis, m, 8, t3 // LANES)
+            outs = _fwd_radix8_step(
+                es, _bcast_w(w, 0, "a"), _bcast_w(wp, 0, "a"),
+                _even_odd_a(w2, m2 // 2), _even_odd_a(wp2, m2 // 2),
+                _quads_a(w3, m3 // 4), _quads_a(wp3, m3 // 4),
+                q, two_q, fwd_bfly)
+            x = join(*outs)
+            i += 3
+            continue
+        if take == 2:
+            m2, t2, w2, wp2 = stages_a[i + 1]
+            qs, join = _split4(x, row_axis, m, t2 // LANES)
             w2a, w2b = _even_odd_a(w2, m2 // 2)
             wp2a, wp2b = _even_odd_a(wp2, m2 // 2)
             outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "a"),
@@ -280,7 +370,24 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
-        if radix4 and i + 1 < len(stages_b):
+        take = 1
+        if radix >= 8 and i + 2 < len(stages_b):
+            take = 3
+        elif radix >= 4 and i + 1 < len(stages_b):
+            take = 2
+        if take == 3:
+            m2, t2, w2, wp2 = stages_b[i + 1]
+            m3, t3, w3, wp3 = stages_b[i + 2]
+            es, join = _splitk(x, c_axis, nb, 8, t3)
+            outs = _fwd_radix8_step(
+                es, _bcast_w(w, 0, "b"), _bcast_w(wp, 0, "b"),
+                _even_odd_b(w2, nb), _even_odd_b(wp2, nb),
+                _quads_b(w3, nb), _quads_b(wp3, nb),
+                q, two_q, fwd_bfly)
+            x = join(*outs)
+            i += 3
+            continue
+        if take == 2:
             m2, t2, w2, wp2 = stages_b[i + 1]
             qs, join = _split4(x, c_axis, nb, t2)
             w2a, w2b = _even_odd_b(w2, nb * 2 // 2)
@@ -378,7 +485,7 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     _, inv_bfly = _bflys()
-    radix4 = _config.ntt_radix() == 4 and n >= (1 << 13)
+    radix = _config.ntt_radix() if n >= (1 << 13) else 2
     # Phase B first (strides 1..64) in the transposed layout.
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
     c_axis = x.lo.ndim - 2
@@ -387,7 +494,24 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
-        if radix4 and i + 1 < len(stages_b):
+        take = 1
+        if radix >= 8 and i + 2 < len(stages_b):
+            take = 3
+        elif radix >= 4 and i + 1 < len(stages_b):
+            take = 2
+        if take == 3:
+            m2, t2, w2, wp2 = stages_b[i + 1]   # stride 2t, nb/2 blocks
+            m3, t3, w3, wp3 = stages_b[i + 2]   # stride 4t, nb/4 blocks
+            es, join = _splitk(x, c_axis, nb // 4, 8, t)
+            outs = _inv_radix8_step(
+                es, _quads_b(w, nb // 4), _quads_b(wp, nb // 4),
+                _even_odd_b(w2, nb // 4), _even_odd_b(wp2, nb // 4),
+                _bcast_w(w3, 0, "b"), _bcast_w(wp3, 0, "b"),
+                q, two_q, inv_bfly)
+            x = join(*outs)
+            i += 3
+            continue
+        if take == 2:
             m2, t2, w2, wp2 = stages_b[i + 1]   # stride 2t, nb/2 blocks
             qs, join = _split4(x, c_axis, nb // 2, t)
             w1a, w1b = _even_odd_b(w, nb // 2)
@@ -411,7 +535,24 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     i = 0
     while i < len(stages_a):
         m, t, w, wp = stages_a[i]
-        if radix4 and i + 1 < len(stages_a):
+        take = 1
+        if radix >= 8 and i + 2 < len(stages_a):
+            take = 3
+        elif radix >= 4 and i + 1 < len(stages_a):
+            take = 2
+        if take == 3:
+            m2, t2, w2, wp2 = stages_a[i + 1]
+            m3, t3, w3, wp3 = stages_a[i + 2]
+            es, join = _splitk(x, row_axis, m // 4, 8, t // LANES)
+            outs = _inv_radix8_step(
+                es, _quads_a(w, m // 4), _quads_a(wp, m // 4),
+                _even_odd_a(w2, m // 4), _even_odd_a(wp2, m // 4),
+                _bcast_w(w3, 0, "a"), _bcast_w(wp3, 0, "a"),
+                q, two_q, inv_bfly)
+            x = join(*outs)
+            i += 3
+            continue
+        if take == 2:
             m2, t2, w2, wp2 = stages_a[i + 1]
             qs, join = _split4(x, row_axis, m // 2, t // LANES)
             w1a, w1b = _even_odd_a(w, m // 2)
