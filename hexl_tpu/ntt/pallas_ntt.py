@@ -35,18 +35,19 @@ from .jnp_ntt import (_final_inv_stage, _fwd_butterfly,
 from .plan import LANES, NttPlan
 
 # Largest degree the fully-fused kernel compiles for. Mosaic allocates a
-# kernel's temporaries on the VMEM stack per live range; the kernel below
-# bounds the live set to ONE stage's temporaries by writing each stage's
-# result back to a VMEM scratch buffer (a pure-functional body keeps every
-# stage's temps live simultaneously and already dies at N = 2^16). With
-# the writeback structure the per-stage live set itself exceeds the 16 MB
-# scoped-vmem limit beyond these bounds (measured on v5e; the inverse
-# kernel's row-stage loop is ~1.2x fatter than the forward's, so its
-# ceiling sits one notch lower). Larger transforms use the staged XLA
-# body, which round-trips HBM per stage (the reference handles the same
-# pressure with its depth-first recursive split, fwd-ntt-avx512.cpp:274).
+# kernel's temporaries on the VMEM stack per traced region between ref
+# stores; the writeback bodies below bound every region to one row chunk
+# (phase A) or one tile (phase B), which fits both directions at N=2^16
+# on v5e (a pure-functional body keeps every stage's temps live
+# simultaneously and dies at 2^16; a full-width per-stage writeback body
+# still peaks 0.2-1.2 MB over the 16 MB scoped limit — measured).
+# Compile time for the chunked 2^16 body is steep (~8 min cold, cached
+# thereafter). Larger transforms use the hierarchical two-kernel split
+# (ntt/hier.py), which round-trips HBM twice (the reference handles the
+# same pressure with its depth-first recursive split,
+# fwd-ntt-avx512.cpp:274).
 PALLAS_MAX_N_FWD = 1 << 16
-PALLAS_MAX_N_INV = 1 << 15
+PALLAS_MAX_N_INV = 1 << 16
 
 
 def _butterflies():
@@ -336,83 +337,156 @@ def _run_packed(x: U64, plan: NttPlan, omf: int, forward: bool,
 
 
 def _phase_b_tilewise(plan, s1, tt, bfly, q, two_q):
-    """Run the lane-stride stages tile by tile in the transposed scratch:
-    phase-B butterflies never cross tiles, so per-tile processing divides
-    the live temporary set by plan.tiles (the binding constraint for the
-    scoped-vmem ceiling at large N). Scratch carries a leading batch-block
-    axis: (kb, tiles, LANES, lane_l)."""
+    """Run the lane-stride stages tile by tile in the transposed scratch
+    ((tiles, LANES, lane_l)): phase-B butterflies never cross tiles, so
+    per-tile processing divides the live temporary set by plan.tiles
+    (the binding constraint for the scoped-vmem ceiling at large N)."""
     thi, tlo = tt
     for ti in range(plan.tiles):
-        xv = U64(thi[:, ti], tlo[:, ti])    # (kb, LANES, lane_l)
+        xv = U64(thi[ti], tlo[ti])          # (LANES, lane_l)
         for m, t, w, wp in s1:
             nb = LANES // (2 * t)
-            xs, ys, join = _split2(xv, 1, nb, t)
-            wt = U64(w.hi[ti][None, :, None, :],
-                     w.lo[ti][None, :, None, :])
-            wpt = U64(wp.hi[ti][None, :, None, :],
-                      wp.lo[ti][None, :, None, :])
+            xs, ys, join = _split2(xv, 0, nb, t)
+            wt = U64(w.hi[ti][:, None, :], w.lo[ti][:, None, :])
+            wpt = U64(wp.hi[ti][:, None, :], wp.lo[ti][:, None, :])
             nx, ny = bfly(xs, ys, wt, wpt, q, two_q)
             xv = join(nx, ny)
-        thi[:, ti] = xv.hi
-        tlo[:, ti] = xv.lo
+        thi[ti] = xv.hi
+        tlo[ti] = xv.lo
 
 
-def _bcast_a3(w: U64) -> U64:
-    """Phase-A twiddle (m, 1) -> (1, m, 1, 1) (leading batch-block)."""
-    return U64(w.hi[None, :, :, None], w.lo[None, :, :, None])
+# Row-chunk size (in X-half rows) for the phase-A stages of the
+# writeback bodies. Mosaic stack-allocates the temporaries of each
+# traced region between ref stores; processing a stage in fixed row
+# chunks (contiguous slices — a butterfly only pairs rows r and r+t/128)
+# bounds every region to 2*RC rows regardless of N. (rows/2)/RC chunks
+# per stage keeps the unrolled trace small.
+_ROW_CHUNK = 64
+
+# Test hook: force the writeback (ref) bodies at every size so their
+# chunked stage walkers can be validated in interpret mode at small N
+# (a full 2^16 interpret trace is minutes of CPU time).
+_FORCE_REFS = False
 
 
-def _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q, two_q):
-    """Forward stages with per-stage writeback to scratch refs rr/tt
-    ((kb,rows,LANES) and transposed (kb,tiles,LANES,L)) — bounds Mosaic's
-    live temporaries to one stage (see PALLAS_MAX_N note)."""
-    rhi, rlo = rr
+def _phase_a_chunked(plan, s0, src_refs, dst_refs, bfly, q, two_q):
+    """Run row-stride stages in row chunks: stage 1 streams src->dst,
+    later stages update dst in place chunk by chunk (chunks are disjoint
+    row sets, so per-stage in-place is safe)."""
+    shi, slo = src_refs
+    dhi, dlo = dst_refs
+    rows = plan.rows
+    for si, (m, t, w, wp) in enumerate(s0):
+        tr = t // LANES
+        rhi, rlo = (shi, slo) if si == 0 else (dhi, dlo)
+        if tr >= _ROW_CHUNK:
+            # Few wide groups: sub-chunk within each group.
+            for g in range(m):
+                base = g * 2 * tr
+                # 0-d scalar extracts: Mosaic lowers a scalar splat, but
+                # not a (1,1,1) vector broadcast into sublanes+lanes
+                # (and a [slice, :, None] mixed index lowers to an
+                # unsupported gather).
+                wg = U64(w.hi[g, 0], w.lo[g, 0])
+                wpg = U64(wp.hi[g, 0], wp.lo[g, 0])
+                for j in range(0, tr, _ROW_CHUNK):
+                    xsl = slice(base + j, base + j + _ROW_CHUNK)
+                    ysl = slice(base + tr + j, base + tr + j + _ROW_CHUNK)
+                    xs = U64(rhi[0, xsl], rlo[0, xsl])
+                    ys = U64(rhi[0, ysl], rlo[0, ysl])
+                    nx, ny = bfly(xs, ys, wg, wpg, q, two_q)
+                    dhi[0, xsl] = nx.hi
+                    dlo[0, xsl] = nx.lo
+                    dhi[0, ysl] = ny.hi
+                    dlo[0, ysl] = ny.lo
+        else:
+            # Many narrow groups: several whole groups per chunk.
+            gm = max(1, _ROW_CHUNK // tr)
+            gm = min(gm, m)
+            for c in range(0, m, gm):
+                row0 = c * 2 * tr
+                row1 = (c + gm) * 2 * tr
+                xv = U64(rhi[0, row0:row1], rlo[0, row0:row1])
+                xs, ys, join = _split2(xv, 0, gm, tr)
+                wc = U64(w.hi[c:c + gm].reshape(gm, 1, 1),
+                         w.lo[c:c + gm].reshape(gm, 1, 1))
+                wpc = U64(wp.hi[c:c + gm].reshape(gm, 1, 1),
+                          wp.lo[c:c + gm].reshape(gm, 1, 1))
+                nx, ny = bfly(xs, ys, wc, wpc, q, two_q)
+                v = join(nx, ny)
+                dhi[0, row0:row1] = v.hi
+                dlo[0, row0:row1] = v.lo
+
+
+def _fwd_ref_body(plan, s0, s1, omf, in_refs, tt, out_refs, fwd_bfly, q,
+                  two_q):
+    """Forward stages with per-stage writeback — bounds Mosaic's live
+    temporaries (see PALLAS_MAX_N note). Works on the 2D (rows, LANES)
+    view (this body only runs with one poly per grid step). The
+    row-stride phase-A stages run in row chunks IN the output refs
+    (first stage streams input->output); phase B runs tile-by-tile in
+    the transposed scratch tt, and the final untranspose streams
+    tile-by-tile straight back into the output refs (a whole-array
+    untranspose holds a full extra copy live — ~0.5 MB over the limit
+    at N=2^16, measured)."""
+    ihi, ilo = in_refs
     thi, tlo = tt
-    for m, t, w, wp in s0:
-        xv = U64(rhi[...], rlo[...])
-        xs, ys, join = _split2(xv, 1, m, t // LANES)
-        nx, ny = fwd_bfly(xs, ys, _bcast_a3(w), _bcast_a3(wp), q, two_q)
-        _store(rhi, rlo, join(nx, ny))
-    xt = _transpose_tiles(U64(rhi[...], rlo[...]), plan.tiles, plan.lane_l)
+    ohi, olo = out_refs
+    if s0:
+        _phase_a_chunked(plan, s0, (ihi, ilo), (ohi, olo), fwd_bfly, q,
+                         two_q)
+        src = U64(ohi[0], olo[0])
+    else:
+        src = U64(ihi[0], ilo[0])
+    xt = _transpose_tiles(src, plan.tiles, plan.lane_l)
     _store(thi, tlo, xt)
     _phase_b_tilewise(plan, s1, tt, fwd_bfly, q, two_q)
-    out = _untranspose_tiles(U64(thi[...], tlo[...]), plan.rows)
-    if omf == 1:
-        out = reduce_mod_lazy64(out, plan.q, 4)
-    return out
+    L = plan.lane_l
+    for ti in range(plan.tiles):
+        v = U64(thi[ti].swapaxes(-1, -2), tlo[ti].swapaxes(-1, -2))
+        if omf == 1:
+            v = reduce_mod_lazy64(v, plan.q, 4)
+        ohi[0, ti * L:(ti + 1) * L, :] = v.hi
+        olo[0, ti * L:(ti + 1) * L, :] = v.lo
 
 
-def _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q, two_q):
+def _inv_ref_body(plan, s0, s1, omf, in_refs, tt, out_refs, inv_bfly, q,
+                  two_q):
     """Inverse stages with per-stage writeback (mirror of _fwd_ref_body:
-    phase B' in the transposed scratch first, then phase A', then the
-    final stage fused with N^{-1})."""
-    rhi, rlo = rr
+    phase B' in the transposed scratch first, then phase A' working in
+    the output refs, then the final stage fused with N^{-1} written
+    half-by-half). The post-phase-B untranspose streams tile-by-tile
+    into the output refs (a whole-array untranspose keeps a full extra
+    copy live — the overage that held the inverse ceiling at 2^15)."""
+    ihi, ilo = in_refs
     thi, tlo = tt
-    xt = _transpose_tiles(U64(rhi[...], rlo[...]), plan.tiles, plan.lane_l)
+    ohi, olo = out_refs
+    xt = _transpose_tiles(U64(ihi[0], ilo[0]), plan.tiles, plan.lane_l)
     _store(thi, tlo, xt)
     _phase_b_tilewise(plan, s0, tt, inv_bfly, q, two_q)
-    _store(rhi, rlo, _untranspose_tiles(U64(thi[...], tlo[...]), plan.rows))
-    for m, t, w, wp in s1:
-        xv = U64(rhi[...], rlo[...])
-        xs, ys, join = _split2(xv, 1, m, t // LANES)
-        nx, ny = inv_bfly(xs, ys, _bcast_a3(w), _bcast_a3(wp), q, two_q)
-        _store(rhi, rlo, join(nx, ny))
-    # Final stage fused with N^{-1}, written back half-by-half to keep
-    # the live set small (the concatenating form pushes N=2^16 over the
-    # scoped-vmem limit).
+    L = plan.lane_l
+    for ti in range(plan.tiles):
+        ohi[0, ti * L:(ti + 1) * L, :] = thi[ti].swapaxes(-1, -2)
+        olo[0, ti * L:(ti + 1) * L, :] = tlo[ti].swapaxes(-1, -2)
+    if s1:
+        _phase_a_chunked(plan, s1, (ohi, olo), (ohi, olo), inv_bfly, q,
+                         two_q)
+    # Final stage fused with N^{-1}, processed in the same row chunks
+    # (pairs rows r and r+rows/2; reads materialize before writes land).
     half = plan.rows // 2
-    xs = U64(rhi[:, :half, :], rlo[:, :half, :])
-    ys = U64(rhi[:, half:, :], rlo[:, half:, :])
-    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
-    if omf == 1:
-        nx = cond_sub64(nx, q)
-    rhi[:, :half, :] = nx.hi
-    rlo[:, :half, :] = nx.lo
-    if omf == 1:
-        ny = cond_sub64(ny, q)
-    rhi[:, half:, :] = ny.hi
-    rlo[:, half:, :] = ny.lo
-    return U64(rhi[...], rlo[...])
+    for j in range(0, half, _ROW_CHUNK):
+        c = min(_ROW_CHUNK, half - j)
+        xs = U64(ohi[0, j:j + c, :], olo[0, j:j + c, :])
+        ys = U64(ohi[0, half + j:half + j + c, :],
+                 olo[0, half + j:half + j + c, :])
+        nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+        if omf == 1:
+            nx = cond_sub64(nx, q)
+            ny = cond_sub64(ny, q)
+        ohi[0, j:j + c, :] = nx.hi
+        olo[0, j:j + c, :] = nx.lo
+        ohi[0, half + j:half + j + c, :] = ny.hi
+        olo[0, half + j:half + j + c, :] = ny.lo
 
 
 def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
@@ -431,12 +505,8 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
 
     # The functional body is ~9% faster (no scratch copies) but keeps all
     # stage temporaries live; it fits the scoped-vmem limit up to 2^15.
-    # Above that the writeback body is the only one that compiles. (With
-    # the current gates only the forward reaches use_refs — the inverse
-    # routes to the hierarchical path above 2^15 — but the inverse
-    # writeback body is kept so the INV ceiling can be raised
-    # independently.)
-    use_refs = n > (1 << 15)
+    # Above that the chunked writeback body is the only one that compiles.
+    use_refs = _FORCE_REFS or n > (1 << 15)
 
     # Small transforms are grid-overhead bound (N=2^10 spends ~7 us/step
     # on ~0.6 Mops of work). Pack several polynomials per grid step,
@@ -473,19 +543,15 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
         q = const64(plan.q)
         two_q = const64(2 * plan.q)
         fwd_bfly, inv_bfly = _butterflies()
-        ohi, olo = refs[i], refs[i + 1]
-        rr = (refs[i + 2], refs[i + 3])
-        tt = (refs[i + 4], refs[i + 5])
-        rr[0][...] = refs[0][...]
-        rr[1][...] = refs[1][...]
+        out_refs = (refs[i], refs[i + 1])
+        in_refs = (refs[0], refs[1])
+        tt = (refs[i + 2], refs[i + 3])
         if forward:
-            out = _fwd_ref_body(plan, s0, s1, omf, rr, tt, fwd_bfly, q,
-                                two_q)
+            _fwd_ref_body(plan, s0, s1, omf, in_refs, tt, out_refs,
+                          fwd_bfly, q, two_q)
         else:
-            out = _inv_ref_body(plan, s0, s1, omf, rr, tt, inv_bfly, q,
-                                two_q)
-        ohi[...] = out.hi
-        olo[...] = out.lo
+            _inv_ref_body(plan, s0, s1, omf, in_refs, tt, out_refs,
+                          inv_bfly, q, two_q)
 
     x_spec = pl.BlockSpec((kb, rows, LANES), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -503,13 +569,14 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((batch, rows, LANES), jnp.uint32),
         ),
-        # Scratch only exists for the writeback body; the functional body
-        # must not reserve ~16N bytes of the scoped-vmem budget for nothing.
+        # Scratch only exists for the writeback body (the transposed
+        # phase-B planes; phase A works in the output refs directly — a
+        # separate row-layout scratch pair is 0.5 MB the N=2^16 kernel
+        # does not have). The functional body must not reserve scoped
+        # vmem for nothing.
         scratch_shapes=([
-            pltpu.VMEM((kb, rows, LANES), jnp.uint32),
-            pltpu.VMEM((kb, rows, LANES), jnp.uint32),
-            pltpu.VMEM((kb, plan.tiles, LANES, plan.lane_l), jnp.uint32),
-            pltpu.VMEM((kb, plan.tiles, LANES, plan.lane_l), jnp.uint32),
+            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
+            pltpu.VMEM((plan.tiles, LANES, plan.lane_l), jnp.uint32),
         ] if use_refs else []),
     )(x3.hi, x3.lo, *tw_planes)
     return U64(out_hi.reshape(shape), out_lo.reshape(shape))

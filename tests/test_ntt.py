@@ -355,3 +355,37 @@ def test_radix4_walker_bit_exact(monkeypatch):
             np.testing.assert_array_equal(got, want)
             np.testing.assert_array_equal(got_i, want_i)
         monkeypatch.setattr(_cfg, "ntt_radix", lambda: 2)
+
+
+def test_pallas_chunked_writeback_body(monkeypatch):
+    """The chunked writeback bodies (the only form that fits scoped vmem
+    at N=2^16) must match the oracle; _FORCE_REFS exercises them at a
+    small N where interpret mode is fast, covering both the wide
+    (tr >= _ROW_CHUNK, at 2^14) and narrow stage branches."""
+    import functools
+    from jax.experimental import pallas as pl
+    from hexl_tpu import nt as _nt, ref as _ref
+    from hexl_tpu.limb import from_limbs as _fl, to_limbs as _tl
+    from hexl_tpu.ntt import get_plan as _gp, pallas_ntt as _pn
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call,
+                                             interpret=True))
+    monkeypatch.setattr(_pn, "_FORCE_REFS", True)
+    n = 1 << 14
+    q = _nt.generate_primes(1, 60, True, ntt_size=n)[0]
+    plan = _gp(n, q)
+    rng = np.random.default_rng(14)
+    x = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    rop, irop, _ = _ref.root_of_unity_powers(n, q, plan.root)
+    prop = _ref.precon64(rop, q)
+    want = np.stack([_ref.fwd_ntt_radix2(v, q, rop, prop, 1, 1)
+                     for v in x])
+    got = _fl(_pn.fwd_ntt(_tl(x), plan, 1, 1))
+    np.testing.assert_array_equal(got % q, want)
+    g4 = _fl(_pn.fwd_ntt(_tl(x), plan, 4, 4))
+    np.testing.assert_array_equal(g4 % q, want)
+    back = _fl(_pn.inv_ntt(_tl(got % q), plan, 1, 1))
+    np.testing.assert_array_equal(back, x)
+    b2 = _fl(_pn.inv_ntt(_tl(got % q), plan, 2, 2))
+    np.testing.assert_array_equal(b2 % q, x)
