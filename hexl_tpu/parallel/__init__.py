@@ -2,5 +2,7 @@
 
 from .dist_ntt import (DistNTT, dist_rns_poly_mult, get_dist_ntt,
                        make_mesh)
+from .pipeline import PipelineNTT, make_pipeline_mesh
 
-__all__ = ["DistNTT", "dist_rns_poly_mult", "get_dist_ntt", "make_mesh"]
+__all__ = ["DistNTT", "PipelineNTT", "dist_rns_poly_mult", "get_dist_ntt",
+           "make_mesh", "make_pipeline_mesh"]
