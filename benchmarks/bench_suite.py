@@ -186,21 +186,21 @@ def main():
     # ---- Single-limb fast path (q < 2^30, the DQ-32 regime) ----
     if not args.quick:
         from hexl_tpu.ntt import ntt32
-        n, batch = 16384, 128
-        q = nt.generate_primes(1, 29, True, ntt_size=n)[0]
-        plan = get_plan(n, q)
-        x32 = jax.numpy.asarray(
-            rng.integers(0, q, size=(batch, n), dtype=np.uint64
-                         ).astype(np.uint32))
-        f32 = (ntt32.fwd_ntt32_pallas if config.use_pallas()
-               else ntt32.fwd_ntt32)
-        i32 = (ntt32.inv_ntt32_pallas if config.use_pallas()
-               else ntt32.inv_ntt32)
-        pair32 = jax.jit(lambda v: jax.lax.scan(
-            lambda c, _: (i32(f32(c, plan, 1, 1), plan, 1, 1), None),
-            v, None, length=CHAIN)[0])
-        record("fwd+inv_ntt32_pair", n, 29, batch,
-               _time_dispatch(pair32, (x32,), iters))
+        for n, batch in ((16384, 128), (1 << 17, 16)):
+            q = nt.generate_primes(1, 29, True, ntt_size=n)[0]
+            plan = get_plan(n, q)
+            x32 = jax.numpy.asarray(
+                rng.integers(0, q, size=(batch, n), dtype=np.uint64
+                             ).astype(np.uint32))
+            f32 = (ntt32.fwd_ntt32_pallas if config.use_pallas()
+                   else ntt32.fwd_ntt32)
+            i32 = (ntt32.inv_ntt32_pallas if config.use_pallas()
+                   else ntt32.inv_ntt32)
+            pair32 = jax.jit(lambda v, p=plan: jax.lax.scan(
+                lambda c, _: (i32(f32(c, p, 1, 1), p, 1, 1), None),
+                v, None, length=CHAIN)[0])
+            record("fwd+inv_ntt32_pair", n, 29, batch,
+                   _time_dispatch(pair32, (x32,), iters))
 
     # ---- Large-N NTTs (hierarchical two-kernel path) ----
     if not args.quick:
