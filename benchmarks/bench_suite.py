@@ -215,6 +215,28 @@ def main():
                 record(name, n, 60, batch,
                        _time_dispatch(_chained(op), (x,), iters))
 
+    # ---- Composite: fused multi-op eltwise chain (dyadic MAC) ----
+    # a*b + c*d mod q — the case the generic Pallas runner exists for
+    # (many eltwise ops in one VMEM residency). Benchmarked both ways so
+    # the dispatcher default stays measured (see eltwise/ops.py:_run).
+    if not args.quick:
+        from hexl_tpu.eltwise import jnp_kernels as ekk
+        from hexl_tpu.eltwise import pallas_kernels as epk
+        n, q_bits, mac_batch = 8192, 60, 1024
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        a, b, c2, d2 = (rand_u64(mac_batch, n, q) for _ in range(4))
+
+        def mac(x, y, z, w, qq=q):
+            return ekk.add_mod(ekk.mult_mod(x, y, qq, 1),
+                               ekk.mult_mod(z, w, qq, 1), qq)
+
+        record("eltwise_mac_fused_xla", n, q_bits, mac_batch,
+               _time_dispatch(_chained(mac, (b, c2, d2)), (a,), iters))
+        record("eltwise_mac_fused_pallas", n, q_bits, mac_batch,
+               _time_dispatch(
+                   _chained(lambda x, y, z, w: epk.run_eltwise(
+                       mac, (x, y, z, w)), (b, c2, d2)), (a,), iters))
+
     # ---- Composite: fused poly-mult pipeline ----
     if not args.quick:
         from hexl_tpu import poly

@@ -172,3 +172,36 @@ def test_small_q_fma_matches_64bit():
         got = eltwise_fma_mod(a, w, c, q, imf)
         want = (a.astype(object) * (w % q) + c.astype(object)) % q
         np.testing.assert_array_equal(got.astype(object), want)
+
+
+def test_fused_multi_op_pipeline_pallas_runner(monkeypatch):
+    """The generic Pallas runner exists to fuse CHAINS of eltwise ops in
+    one VMEM residency (standalone ops default to the XLA body). Exercise
+    the dyadic-MAC shape — a*b + c*d mod q — as one fused kernel in
+    interpret mode and check it against the big-int oracle."""
+    import functools
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from hexl_tpu import nt
+    from hexl_tpu.eltwise import jnp_kernels as K
+    from hexl_tpu.eltwise import pallas_kernels as P
+    from hexl_tpu.limb import from_limbs, to_limbs
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call,
+                                             interpret=True))
+    q = nt.generate_primes(1, 60, True, ntt_size=1 << 10)[0]
+    rng = np.random.default_rng(11)
+    a, b, c, d = (rng.integers(0, q, size=(3, 300), dtype=np.uint64)
+                  for _ in range(4))
+
+    def mac(x, y, z, w):
+        return K.add_mod(K.mult_mod(x, y, q, 1), K.mult_mod(z, w, q, 1), q)
+
+    got = from_limbs(P.run_eltwise(
+        mac, tuple(to_limbs(v) for v in (a, b, c, d))))
+    want = ((a.astype(object) * b + c.astype(object) * d) % q)
+    np.testing.assert_array_equal(got.astype(object), want)
+    # Must agree with the XLA-fused composition bit-for-bit.
+    xla = from_limbs(mac(*(to_limbs(v) for v in (a, b, c, d))))
+    np.testing.assert_array_equal(got, xla)
