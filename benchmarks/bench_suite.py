@@ -296,11 +296,8 @@ def main():
             fft = FL.FFTLike(n, precision="double_float")
             z = (rng.normal(size=(32, n)) + 1j * rng.normal(size=(32, n)))
             zc = cdf_from_complex128(z)
-            fwd_tab, inv_tab = fft.fwd_table, fft.inv_table
-
-            def fft_pair(c, ft=fwd_tab, it=inv_tab, nn=n):
-                f = FL._stage_loop_fwd_df(c, ft, nn, None)
-                return FL._stage_loop_inv_df(f, it, nn, None)
+            def fft_pair(c, ff=fft):
+                return ff.df_inv_body(ff.df_fwd_body(c))
 
             fn = _chained(fft_pair)
             dt = _time_dispatch(fn, (zc,), iters)

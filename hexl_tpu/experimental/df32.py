@@ -116,6 +116,60 @@ def cdf_mul(x: CDF, y: CDF) -> CDF:
     return CDF(re, im)
 
 
+class WS(NamedTuple):
+    """DF with the Dekker split of `hi` precomputed (shi + slo == hi).
+
+    The split (3 ops) is exact in f32, so precomputing it — once per
+    twiddle-table slice instead of once per butterfly product — changes
+    no results, only op count. Used by the FFT-like stage loops where
+    one (m, 1) twiddle slice multiplies a whole (batch, m, gap) block.
+    """
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+    shi: jnp.ndarray
+    slo: jnp.ndarray
+
+
+class CWS(NamedTuple):
+    """Complex WS (presplit twiddle)."""
+    re: WS
+    im: WS
+
+
+def df_presplit(x: DF) -> WS:
+    shi, slo = _split(x.hi)
+    return WS(x.hi, x.lo, shi, slo)
+
+
+def cdf_presplit(x: CDF) -> CWS:
+    return CWS(df_presplit(x.re), df_presplit(x.im))
+
+
+def _mul_ps(x: DF, x_shi, x_slo, w: WS):
+    """x*w with both splits in hand; UNNORMALIZED (hi, err) pair."""
+    p = x.hi * w.hi
+    e = ((x_shi * w.shi - p) + x_shi * w.slo + x_slo * w.shi) \
+        + x_slo * w.slo
+    return p, e + (x.hi * w.lo + x.lo * w.hi)
+
+
+def cdf_mul_ps(x: CDF, w: CWS) -> CDF:
+    """x*w with w's splits precomputed and x's shared across the four
+    real products; partial products stay unnormalized until the final
+    combine. Error stays within ~1 ulp of cdf_mul (the sums it skips
+    renormalizing are exact two_sum outputs)."""
+    xr_shi, xr_slo = _split(x.re.hi)
+    xi_shi, xi_slo = _split(x.im.hi)
+    prr, err = _mul_ps(x.re, xr_shi, xr_slo, w.re)
+    pii, eii = _mul_ps(x.im, xi_shi, xi_slo, w.im)
+    pri, eri = _mul_ps(x.re, xr_shi, xr_slo, w.im)
+    pir, eir = _mul_ps(x.im, xi_shi, xi_slo, w.re)
+    sr, er = _two_sum(prr, -pii)
+    si, ei = _two_sum(pri, pir)
+    return CDF(_norm(sr, er + (err - eii)),
+               _norm(si, ei + (eri + eir)))
+
+
 def cdf_from_complex128(x) -> CDF:
     x = np.asarray(x, dtype=np.complex128)
     return CDF(df_from_f64(x.real), df_from_f64(x.imag))

@@ -80,6 +80,129 @@ def _stage_loop_inv(x, table, n, scalar):
     return x
 
 
+# ---------------------------------------------------------------------------
+# 2D staged path (n >= MIN_2D_N) — the NTT bodies' phase-A/phase-B layout
+# (ntt/jnp_ntt.py) applied to the complex double-float transform. The flat
+# (m, 2, gap) walk below relayouts all four f32 planes at lane granularity
+# every stage; the 2D walk keeps stage slices on the row/sublane axes
+# (cheap concats), with one tile transpose per direction. Butterfly order
+# and arithmetic are identical, so results match the flat loops bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _tmap(f, *xs):
+    return jax.tree.map(f, *xs)
+
+
+def _t_split2(x, axis: int, m: int, t: int):
+    """Pytree-generic jnp_ntt._split2: slice one axis of size m*2t into
+    X/Y halves plus a concat-based reassembly closure."""
+    def rs(p):
+        s = p.shape
+        return p.reshape(s[:axis] + (m, 2 * t) + s[axis + 1:])
+    v = _tmap(rs, x)
+    ndim = v.re.hi.ndim
+    sl_x = [slice(None)] * ndim
+    sl_y = [slice(None)] * ndim
+    sl_x[axis + 1] = slice(0, t)
+    sl_y[axis + 1] = slice(t, 2 * t)
+    xs = _tmap(lambda p: p[tuple(sl_x)], v)
+    ys = _tmap(lambda p: p[tuple(sl_y)], v)
+
+    def join(nx, ny):
+        def cat(a, b):
+            h = jnp.concatenate([a, b], axis=axis + 1)
+            s = h.shape
+            return h.reshape(s[:axis] + (m * 2 * t,) + s[axis + 2:])
+        return _tmap(cat, nx, ny)
+
+    return xs, ys, join
+
+
+def _t_transpose_tiles(x, tiles: int, lane_l: int):
+    """(..., R, 128) -> (..., tiles, 128, L) rows<->lanes tile transpose."""
+    def t(p):
+        s = p.shape[:-2] + (tiles, lane_l, 128)
+        return p.reshape(s).swapaxes(-1, -2)
+    return _tmap(t, x)
+
+
+def _t_untranspose_tiles(x, rows: int):
+    def t(p):
+        v = p.swapaxes(-1, -2)
+        return v.reshape(v.shape[:-3] + (rows, 128))
+    return _tmap(t, x)
+
+
+def _bfly_fwd_df(xs, ys, w):
+    """X' = xs + ys*w, Y' = xs - ys*w (w presplit inside, per table slice)."""
+    from . import df32 as D
+    t = D.cdf_mul_ps(ys, D.cdf_presplit(w))
+    return D.cdf_add(xs, t), D.cdf_sub(xs, t)
+
+
+def _bfly_inv_df(xs, ys, w):
+    """X' = xs + ys, Y' = (xs - ys)*w."""
+    from . import df32 as D
+    return D.cdf_add(xs, ys), D.cdf_mul_ps(D.cdf_sub(xs, ys),
+                                           D.cdf_presplit(w))
+
+
+def _fwd_2d_df(x, st, n, rows, tiles, lane_l, scalar):
+    """Forward staged transform; `st` is (fwd_a, fwd_b) stage lists."""
+    from . import df32 as D
+    shape = x.re.hi.shape
+    x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
+    row_axis = x.re.hi.ndim - 2
+    for m, t, w, _ in st[0]:
+        xs, ys, join = _t_split2(x, row_axis, m, t // 128)
+        x = join(*_bfly_fwd_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
+    x = _t_transpose_tiles(x, tiles, lane_l)
+    c_axis = x.re.hi.ndim - 2
+    for m, t, w, _ in st[1]:
+        nb = 128 // (2 * t)
+        xs, ys, join = _t_split2(x, c_axis, nb, t)
+        x = join(*_bfly_fwd_df(xs, ys,
+                               _tmap(lambda p: p[:, :, None, :], w)))
+    x = _t_untranspose_tiles(x, rows)
+    x = _tmap(lambda p: p.reshape(shape), x)
+    if scalar is not None:
+        # Last-stage scale fusion (reference fft-like-native.cpp) scales
+        # both butterfly terms, i.e. the whole final output, by `scalar`.
+        x = D.cdf_scale(x, scalar)
+    return x
+
+
+def _inv_2d_df(x, st, n, rows, tiles, lane_l, w_final, scalar):
+    """Inverse staged transform; `st` is (inv_b, inv_a); w_final is the
+    CDF scalar twiddle of the last (t = n/2) stage, which build_stage_lists
+    leaves to the caller (NTT fuses N^-1 there; the FFT fuses `scalar`)."""
+    from . import df32 as D
+    shape = x.re.hi.shape
+    x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
+    x = _t_transpose_tiles(x, tiles, lane_l)
+    c_axis = x.re.hi.ndim - 2
+    for m, t, w, _ in st[0]:
+        nb = 128 // (2 * t)
+        xs, ys, join = _t_split2(x, c_axis, nb, t)
+        x = join(*_bfly_inv_df(xs, ys,
+                               _tmap(lambda p: p[:, :, None, :], w)))
+    x = _t_untranspose_tiles(x, rows)
+    row_axis = x.re.hi.ndim - 2
+    for m, t, w, _ in st[1]:
+        xs, ys, join = _t_split2(x, row_axis, m, t // 128)
+        x = join(*_bfly_inv_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
+    # Final stage pairs row r with row r + rows/2; fuse `scalar` if given.
+    xs, ys, join = _t_split2(x, row_axis, 1, rows // 2)
+    tx = D.cdf_add(xs, ys)
+    ty = D.cdf_sub(xs, ys)
+    if scalar is not None:
+        tx = D.cdf_scale(tx, scalar)
+        w_final = D.cdf_scale(w_final, scalar)
+    ny = D.cdf_mul_ps(ty, D.cdf_presplit(w_final))
+    x = join(tx, ny)
+    return _tmap(lambda p: p.reshape(shape), x)
+
+
 def _df_reshape(x, shape):
     from .df32 import CDF, DF
     return CDF(DF(x.re.hi.reshape(shape), x.re.lo.reshape(shape)),
@@ -116,7 +239,9 @@ def _stage_loop_fwd_df(x, table, n, scalar):
         if gap == 1 and scalar is not None:
             w = D.cdf_scale(w, scalar)
             xs = D.cdf_scale(xs, scalar)
-        t = D.cdf_mul(ys, w)
+        # Presplitting the (m, 1) twiddle slice is ~free next to the
+        # (batch, m, gap) butterfly products that consume it.
+        t = D.cdf_mul_ps(ys, D.cdf_presplit(w))
         hi = _df_concat([D.cdf_add(xs, t), D.cdf_sub(xs, t)], -2)
         x = _df_reshape(_restack(hi, m, gap), shp)
         m <<= 1
@@ -151,7 +276,8 @@ def _stage_loop_inv_df(x, table, n, scalar):
         w = _df_index(table, (slice(root_index, root_index + m), None))
         root_index += m
         hi = _df_concat([D.cdf_add(xs, ys),
-                         D.cdf_mul(D.cdf_sub(xs, ys), w)], -2)
+                         D.cdf_mul_ps(D.cdf_sub(xs, ys),
+                                      D.cdf_presplit(w))], -2)
         x = _df_reshape(_restack(hi, m, gap), shp)
         m >>= 1
         gap <<= 1
@@ -203,11 +329,45 @@ class FFTLike:
             self._inv_scale_df = (df_from_f64(np.float64(self.inv_scale))
                                   if self.inv_scale is not None else None)
             self._ctype = None
+            self._st_fwd = self._st_inv = None
+            from ..ntt.plan import MIN_2D_N, build_stage_lists
+            if degree >= MIN_2D_N:
+                rows = degree // 128
+                lane_l = min(rows, 128)
+                tiles = rows // lane_l
+                fa, fb, ib, ia = build_stage_lists(
+                    degree, fwd, fwd, inv, inv, tiles, lane_l,
+                    pack=cdf_from_complex128)
+                # build_stage_lists packs (w, precon) pairs; the complex
+                # transform has no precondition — drop the duplicate.
+                self._st_fwd = (fa, fb)
+                self._st_inv = (ib, ia)
+                self._rows, self._tiles, self._lane_l = rows, tiles, lane_l
+                self._w_final = cdf_from_complex128(inv[degree - 1])
             return
         self._ctype = (jnp.complex128 if precision == "f64"
                        else jnp.complex64)
         self.fwd_table = jnp.asarray(fwd, dtype=self._ctype)
         self.inv_table = jnp.asarray(inv, dtype=self._ctype)
+
+    def df_fwd_body(self, x, scalar=None):
+        """Forward double-float body (jittable, CDF -> CDF): the staged 2D
+        walk for n >= MIN_2D_N, the flat walk below. Same butterflies in
+        the same order — bit-identical for scalar=None; with a scalar the
+        2D walk scales the joined output instead of the last stage's two
+        terms (equal values, last-rounding may differ)."""
+        if self._st_fwd is not None:
+            return _fwd_2d_df(x, self._st_fwd, self.n, self._rows,
+                              self._tiles, self._lane_l, scalar)
+        return _stage_loop_fwd_df(x, self.fwd_table, self.n, scalar)
+
+    def df_inv_body(self, x, scalar=None):
+        """Inverse double-float body (jittable, CDF -> CDF)."""
+        if self._st_inv is not None:
+            return _inv_2d_df(x, self._st_inv, self.n, self._rows,
+                              self._tiles, self._lane_l, self._w_final,
+                              scalar)
+        return _stage_loop_inv_df(x, self.inv_table, self.n, scalar)
 
     @functools.cached_property
     def _fwd_jit(self):
@@ -215,7 +375,7 @@ class FFTLike:
         table = self.fwd_table
         if self.precision == "double_float":
             scal = self._inv_scale_df
-            return jax.jit(lambda x: _stage_loop_fwd_df(x, table, n, scal))
+            return jax.jit(lambda x: self.df_fwd_body(x, scal))
         scal = self.inv_scale
         return jax.jit(lambda x: _stage_loop_fwd(x, table, n, scal))
 
@@ -225,7 +385,7 @@ class FFTLike:
         table = self.inv_table
         if self.precision == "double_float":
             scal = self._scale_df
-            return jax.jit(lambda x: _stage_loop_inv_df(x, table, n, scal))
+            return jax.jit(lambda x: self.df_inv_body(x, scal))
         scal = self.scale
         return jax.jit(lambda x: _stage_loop_inv(x, table, n, scal))
 

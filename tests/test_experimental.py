@@ -248,6 +248,33 @@ def test_fft_like_double_float_precision():
     assert rel < 1e-12, rel
 
 
+def test_fft_like_2d_staged_matches_flat():
+    """The 2D phase-split DF walk (n >= 1024) is a storage permutation of
+    the flat walk — identical butterflies in identical order, so outputs
+    are bit-identical; the scalar variant differs only in last rounding."""
+    from hexl_tpu.experimental import fft_like as FL
+    from hexl_tpu.experimental.df32 import (cdf_from_complex128,
+                                            cdf_to_complex128)
+    n = 2048
+    fft = FL.FFTLike(n, precision="double_float")
+    assert fft._st_fwd is not None
+    rng = np.random.default_rng(12)
+    z = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+    zc = cdf_from_complex128(z)
+    np.testing.assert_array_equal(
+        cdf_to_complex128(fft.df_fwd_body(zc)),
+        cdf_to_complex128(FL._stage_loop_fwd_df(zc, fft.fwd_table, n,
+                                                None)))
+    np.testing.assert_array_equal(
+        cdf_to_complex128(fft.df_inv_body(zc)),
+        cdf_to_complex128(FL._stage_loop_inv_df(zc, fft.inv_table, n,
+                                                None)))
+    # Scale-fused encode/decode roundtrip through the public entry.
+    s = FL.FFTLike(n, 2.0 ** 30, precision="double_float")
+    dec = s.forward(s.inverse(z))
+    np.testing.assert_allclose(dec, z, rtol=1e-8, atol=1e-8)
+
+
 def test_df32_primitives():
     from hexl_tpu.experimental import df32 as D
     rng = np.random.default_rng(9)
@@ -262,6 +289,10 @@ def test_df32_primitives():
     cb = D.cdf_from_complex128(b - 1j * a)
     np.testing.assert_allclose(
         D.cdf_to_complex128(D.cdf_mul(ca, cb)),
+        (a + 1j * b) * (b - 1j * a), rtol=1e-12)
+    # Presplit butterfly multiply: same error model as cdf_mul.
+    np.testing.assert_allclose(
+        D.cdf_to_complex128(D.cdf_mul_ps(ca, D.cdf_presplit(cb))),
         (a + 1j * b) * (b - 1j * a), rtol=1e-12)
 
 
