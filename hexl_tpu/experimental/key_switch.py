@@ -22,12 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import config, nt
+from .. import nt
 from ..eltwise import jnp_kernels as K
 from ..limb import (U64, U128, add128, add64, barrett_reduce_u64, const64,
                     from_limbs, mul64_wide, mult_mod_barrett, sub64,
                     to_limbs, zeros64)
 from ..ntt import get_plan, jnp_ntt
+from ..ntt.rns import fwd_ntt_rns, get_rns_plan, inv_ntt_rns
 
 
 def _barrett_reduce_128(t: U128, modulus: int) -> U64:
@@ -48,12 +49,21 @@ def _barrett_reduce_128(t: U128, modulus: int) -> U64:
 def _jitted_key_switch(n: int, decomp_modulus_size: int,
                        key_modulus_size: int, rns_modulus_size: int,
                        key_component_count: int, moduli: tuple,
-                       modswitch_factors: tuple, use_pallas: bool = False):
+                       modswitch_factors: tuple):
     plans = {q: get_plan(n, q) for q in set(moduli)}
-    if use_pallas:
-        from ..ntt import pallas_ntt as ntt_impl
-    else:
-        ntt_impl = jnp_ntt
+    ds = decomp_modulus_size
+    # Stacked multi-modulus transforms over the decomposition basis: every
+    # NTT group below whose calls differ only in the modulus becomes ONE
+    # vmapped RNS transform (ntt/rns.py) — k batch-1 singles are
+    # occupancy-bound on TPU. Falls back to per-modulus singles when the
+    # decomp primes are not distinct (degenerate, but legal input).
+    rns_plan = None
+    if ds > 1 and len(set(moduli[:ds])) == ds:
+        rns_plan = get_rns_plan(n, moduli[:ds])
+
+    def stack_u64(parts):
+        return U64(jnp.stack([p.hi for p in parts]),
+                   jnp.stack([p.lo for p in parts]))
 
     def fn(result: U64, t_target: U64, keys: U64):
         # result:   (key_component_count, decomp_modulus_size, n)
@@ -63,12 +73,53 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
         def get(u, *idx):
             return U64(u.hi[idx], u.lo[idx])
 
-        # Inverse NTT of the target per decomposition modulus: (2, 1).
-        t_target_intt = []
-        for j in range(decomp_modulus_size):
-            qj = moduli[j]
-            t = ntt_impl.inv_ntt(get(t_target, j), plans[qj], 2, 1)
-            t_target_intt.append(t)
+        # Inverse NTT of the target per decomposition modulus: (2, 1) —
+        # one stacked transform over the whole decomp basis.
+        if rns_plan is not None:
+            t_intt = inv_ntt_rns(t_target, rns_plan, 2, 1)
+            t_target_intt = [get(t_intt, j) for j in range(ds)]
+        else:
+            t_target_intt = [
+                jnp_ntt.inv_ntt(get(t_target, j), plans[moduli[j]], 2, 1)
+                for j in range(ds)]
+
+        # Forward NTTs of the base-converted targets. For i < ds the
+        # modulus is moduli[i] and the batch is the ds-1 polys j != i; all
+        # ds of those batches run as ONE stacked (ds, ds-1, n) transform.
+        # The i == ds group (key modulus) is a single batched transform.
+        # (The reference unrolls ds*rns singles, key-switch-internal.cpp:
+        # 58-90 — restacking is the TPU-shaped restructuring.)
+        def converted(j, qk):
+            tj = t_target_intt[j]
+            if moduli[j] > qk:
+                tj = K.reduce_mod(tj, qk, qk, 1)
+            return tj
+
+        t_ops_for_i = {}  # i -> {j -> U64 in NTT form mod moduli at i}
+        if rns_plan is not None and ds > 1:
+            # All ds rows are built (vmap needs the full basis axis) even
+            # if rns_modulus_size < ds leaves some unread — degenerate.
+            stacked = stack_u64([
+                stack_u64([converted(j, moduli[i])
+                           for j in range(ds) if j != i])
+                for i in range(ds)])
+            fwd = fwd_ntt_rns(stacked, rns_plan, 4, 4)
+            for i in range(min(rns_modulus_size, ds)):
+                batch_js = [j for j in range(ds) if j != i]
+                t_ops_for_i[i] = {
+                    j: get(fwd, i, pos) for pos, j in enumerate(batch_js)}
+        else:
+            for i in range(min(rns_modulus_size, ds)):
+                qk = moduli[i]
+                t_ops_for_i[i] = {
+                    j: jnp_ntt.fwd_ntt(converted(j, qk), plans[qk], 4, 4)
+                    for j in range(ds) if j != i}
+        if rns_modulus_size > ds:
+            i = ds
+            qk = moduli[key_modulus_size - 1]
+            stacked = stack_u64([converted(j, qk) for j in range(ds)])
+            fwd = jnp_ntt.fwd_ntt(stacked, plans[qk], 4, 4)
+            t_ops_for_i[i] = {j: get(fwd, j) for j in range(ds)}
 
         t_poly_prod = [[None] * rns_modulus_size
                        for _ in range(key_component_count)]
@@ -76,25 +127,7 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
             key_index = (key_modulus_size - 1
                          if i == decomp_modulus_size else i)
             qk = moduli[key_index]
-            # Batch the j != i forward NTTs (all share modulus qk) into
-            # ONE stacked transform: trace/compile cost per i drops from
-            # ds NTT bodies to one, and the TPU runs one batched kernel
-            # (reference unrolls per-j singles, key-switch-internal.cpp:
-            # 58-90 — batching is the TPU-shaped restructuring).
-            batch_js = [j for j in range(decomp_modulus_size) if j != i]
-            t_ops = {}
-            if batch_js:
-                stack = []
-                for j in batch_js:
-                    tj = t_target_intt[j]
-                    if moduli[j] > qk:
-                        tj = K.reduce_mod(tj, qk, qk, 1)
-                    stack.append(tj)
-                stacked = U64(jnp.stack([s.hi for s in stack]),
-                              jnp.stack([s.lo for s in stack]))
-                fwd = ntt_impl.fwd_ntt(stacked, plans[qk], 4, 4)
-                for pos, j in enumerate(batch_js):
-                    t_ops[j] = U64(fwd.hi[pos], fwd.lo[pos])
+            t_ops = dict(t_ops_for_i.get(i, {}))
             if i < decomp_modulus_size:
                 t_ops[i] = get(t_target, i)  # original NTT form, < qi
             acc = [U128(zeros64((n,)), zeros64((n,)))
@@ -110,28 +143,55 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
         # Mod-down: fold the key modulus component into each qi.
         qk = moduli[key_modulus_size - 1]
         qk_half = qk >> 1
+        # The key-component inverse NTTs share modulus qk: one batched
+        # (kc, n) transform instead of kc singles.
+        t_last_stack = jnp_ntt.inv_ntt(
+            stack_u64([t_poly_prod[k][decomp_modulus_size]
+                       for k in range(key_component_count)]),
+            plans[qk], 2, 2)
+        q_barr = nt.barrett_factor(1, 64, qk)
+        t_last_stack = barrett_reduce_u64(
+            add64(t_last_stack, const64(qk_half)), qk, q_barr, 1)
+
+        # The per-(k, i) forward NTTs differ in modulus along i only: one
+        # stacked (ds, kc, n) RNS transform.
+        def t_ntt_in(k, i):
+            qi = moduli[i]
+            t_last = get(t_last_stack, k)
+            if qk > qi:
+                t_ntt = K.reduce_mod(t_last, qi, qi, 1)
+            else:
+                t_ntt = t_last
+            fix = qi - nt.barrett_reduce_64(
+                qk_half, qi, nt.barrett_factor(1, 64, qi))
+            return add64(t_ntt, const64(fix))  # in [0, 2qi)
+
+        if rns_plan is not None:
+            stacked = stack_u64([
+                stack_u64([t_ntt_in(k, i)
+                           for k in range(key_component_count)])
+                for i in range(ds)])
+            fwd_md = fwd_ntt_rns(stacked, rns_plan, 4, 4)
+
+            def t_ntt_out(k, i):
+                return get(fwd_md, i, k)
+        else:
+            singles = {
+                (k, i): jnp_ntt.fwd_ntt(t_ntt_in(k, i), plans[moduli[i]],
+                                        4, 4)
+                for k in range(key_component_count) for i in range(ds)}
+
+            def t_ntt_out(k, i):
+                return singles[(k, i)]
+
         out_parts = []
         for k in range(key_component_count):
-            t_last = ntt_impl.inv_ntt(
-                t_poly_prod[k][decomp_modulus_size], plans[qk], 2, 2)
-            # +qk/2 rounding trick, full reduce to [0, qk).
-            q_barr = nt.barrett_factor(1, 64, qk)
-            t_last = barrett_reduce_u64(
-                add64(t_last, const64(qk_half)), qk, q_barr, 1)
             comp = []
             for i in range(decomp_modulus_size):
                 qi = moduli[i]
-                if qk > qi:
-                    t_ntt = K.reduce_mod(t_last, qi, qi, 1)
-                else:
-                    t_ntt = t_last
-                fix = qi - nt.barrett_reduce_64(
-                    qk_half, qi, nt.barrett_factor(1, 64, qi))
-                t_ntt = add64(t_ntt, const64(fix))  # in [0, 2qi)
-                t_ntt = ntt_impl.fwd_ntt(t_ntt, plans[qi], 4, 4)
                 # (ct mod qi) - (ct mod qk), lazily in [0, 8qi)
                 t_ith = sub64(add64(t_poly_prod[k][i], const64(4 * qi)),
-                              t_ntt)
+                              t_ntt_out(k, i))
                 # x qk^{-1} mod qi at input_mod_factor 8
                 t_ith = K.fma_mod(t_ith, modswitch_factors[i], None, qi, 8)
                 acc_out = K.add_mod(get(result, k, i), t_ith, qi)
@@ -167,10 +227,8 @@ def key_switch(result, t_target, n: int, decomp_modulus_size: int,
     t, t_host = coerce_limbs(t_target)
     k, _ = coerce_limbs(key_switch_keys)
     host = r_host or t_host
-    plan0 = get_plan(n, moduli[0])
-    use_pallas = config.use_pallas() and plan0.rows is not None
     fn = _jitted_key_switch(n, decomp_modulus_size, key_modulus_size,
                             rns_modulus_size, key_component_count, moduli,
-                            modswitch_factors, use_pallas)
+                            modswitch_factors)
     out = fn(r, t, k)
     return from_limbs(out) if host else out

@@ -27,7 +27,9 @@ from . import plan as _plan_mod
 from .plan import NttPlan, check_arguments, clear_plan_cache, get_plan
 
 __all__ = ["NTT", "NttPlan", "get_plan", "clear_plan_cache",
-           "check_arguments"]
+           "check_arguments", "RnsNTT", "get_rns_plan"]
+
+from .rns import RnsNTT, get_rns_plan  # noqa: E402
 
 
 def _use_32bit(plan) -> bool:

@@ -165,14 +165,18 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
 
 
 def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    return fwd_body_small(x, q, two_q, plan.n, plan.rop_dev, plan.prop_dev)
+
+
+def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
+                   prop_dev: U64) -> U64:
     fwd_bfly, _ = _bflys()
-    n = plan.n
     m = 1
     while m < n:
         t = n // (2 * m)
         xs, ys, join = _split2(x, x.lo.ndim - 1, m, t)
-        w = U64(plan.rop_dev.hi[m:2 * m], plan.rop_dev.lo[m:2 * m])
-        wp = U64(plan.prop_dev.hi[m:2 * m], plan.prop_dev.lo[m:2 * m])
+        w = U64(rop_dev.hi[m:2 * m], rop_dev.lo[m:2 * m])
+        wp = U64(prop_dev.hi[m:2 * m], prop_dev.lo[m:2 * m])
         w = U64(w.hi[:, None], w.lo[:, None])
         wp = U64(wp.hi[:, None], wp.lo[:, None])
         nx, ny = fwd_bfly(xs, ys, w, wp, q, two_q)
@@ -314,17 +318,25 @@ def _even_odd_b(w: U64, nb: int):
 
 def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     from .. import config as _config
-    n, rows = plan.n, plan.rows
+    radix = _config.ntt_radix() if plan.n >= (1 << 13) else 2
+    return fwd_body_2d(x, q, two_q, plan.fwd_a, plan.fwd_b, plan.rows,
+                       plan.tiles, plan.lane_l, radix)
+
+
+def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
+                tiles: int, lane_l: int, radix: int) -> U64:
+    """Table-parameterized 2D forward body: q/two_q and the stage tables
+    are operands (traced under vmap for the stacked multi-modulus path,
+    ntt/rns.py), everything else static."""
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
     fwd_bfly, _ = _bflys()
-    radix = _config.ntt_radix() if n >= (1 << 13) else 2
     # Phase A: strides >= 128 pair row blocks; the radix-4/8 walkers fuse
     # 2/3 stages per materialization (the XLA path is stage-round-trip
     # bound, so this divides phase HBM traffic by the fusion factor).
-    stages_a = list(plan.fwd_a)
+    stages_a = list(fwd_a)
     i = 0
     while i < len(stages_a):
         m, t, w, wp = stages_a[i]
@@ -363,9 +375,9 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
         x = join(nx, ny)
         i += 1
     # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
-    x = _transpose_tiles(x, plan.tiles, plan.lane_l)
+    x = _transpose_tiles(x, tiles, lane_l)
     c_axis = x.lo.ndim - 2
-    stages_b = list(plan.fwd_b)
+    stages_b = list(fwd_b)
     i = 0
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
@@ -431,29 +443,47 @@ def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
     return out
 
 
-def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
-                     two_q: U64) -> tuple:
-    """Last butterfly stage fused with multiplication by N^{-1}."""
+def _final_inv_stage_fin(xs: U64, ys: U64, fin, q: U64,
+                         two_q: U64) -> tuple:
+    """Last butterfly stage fused with x N^{-1}; `fin` is the traced
+    4-tuple (inv_n, inv_n_precon, inv_n_w, inv_n_w_precon) as U64s."""
+    inv_n, inv_n_precon, inv_n_w, inv_n_w_precon = fin
     tx = cond_sub64(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
-    nx = _shoup(tx, const64(plan.inv_n), const64(plan.inv_n_precon), q)
-    ny = _shoup(ty, const64(plan.inv_n_w), const64(plan.inv_n_w_precon), q)
+    nx = _shoup(tx, inv_n, inv_n_precon, q)
+    ny = _shoup(ty, inv_n_w, inv_n_w_precon, q)
     return nx, ny
 
 
+def _plan_fin(plan: NttPlan):
+    return (const64(plan.inv_n), const64(plan.inv_n_precon),
+            const64(plan.inv_n_w), const64(plan.inv_n_w_precon))
+
+
+def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
+                     two_q: U64) -> tuple:
+    """Last butterfly stage fused with multiplication by N^{-1}."""
+    return _final_inv_stage_fin(xs, ys, _plan_fin(plan), q, two_q)
+
+
 def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    return inv_body_small(x, q, two_q, plan.n, plan.irop_dev,
+                          plan.pirop_dev, _plan_fin(plan))
+
+
+def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
+                   pirop_dev: U64, fin) -> U64:
     _, inv_bfly = _bflys()
-    n = plan.n
     axis = x.lo.ndim - 1
     root_index = 1
     t = 1
     while t < n // 2:
         m = n // (2 * t)
         xs, ys, join = _split2(x, axis, m, t)
-        w = U64(plan.irop_dev.hi[root_index:root_index + m],
-                plan.irop_dev.lo[root_index:root_index + m])
-        wp = U64(plan.pirop_dev.hi[root_index:root_index + m],
-                 plan.pirop_dev.lo[root_index:root_index + m])
+        w = U64(irop_dev.hi[root_index:root_index + m],
+                irop_dev.lo[root_index:root_index + m])
+        wp = U64(pirop_dev.hi[root_index:root_index + m],
+                 pirop_dev.lo[root_index:root_index + m])
         w = U64(w.hi[:, None], w.lo[:, None])
         wp = U64(wp.hi[:, None], wp.lo[:, None])
         nx, ny = inv_bfly(xs, ys, w, wp, q, two_q)
@@ -461,7 +491,7 @@ def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
         root_index += m
         t *= 2
     xs, ys, join = _split2(x, axis, 1, n // 2)
-    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+    nx, ny = _final_inv_stage_fin(xs, ys, fin, q, two_q)
     return join(nx, ny)
 
 
@@ -480,16 +510,22 @@ def _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b, w2, wp2, q, two_q, bfly):
 
 def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     from .. import config as _config
-    n, rows = plan.n, plan.rows
+    radix = _config.ntt_radix() if plan.n >= (1 << 13) else 2
+    return inv_body_2d(x, q, two_q, plan.inv_b, plan.inv_a, _plan_fin(plan),
+                       plan.rows, plan.tiles, plan.lane_l, radix)
+
+
+def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
+                tiles: int, lane_l: int, radix: int) -> U64:
+    """Table-parameterized 2D inverse body (see fwd_body_2d)."""
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     _, inv_bfly = _bflys()
-    radix = _config.ntt_radix() if n >= (1 << 13) else 2
     # Phase B first (strides 1..64) in the transposed layout.
-    x = _transpose_tiles(x, plan.tiles, plan.lane_l)
+    x = _transpose_tiles(x, tiles, lane_l)
     c_axis = x.lo.ndim - 2
-    stages_b = list(plan.inv_b)
+    stages_b = list(inv_b)
     i = 0
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
@@ -531,7 +567,7 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     x = _untranspose_tiles(x, rows)
     # Phase A (strides 128 .. N/4) on row blocks.
     row_axis = x.lo.ndim - 2
-    stages_a = list(plan.inv_a)
+    stages_a = list(inv_a)
     i = 0
     while i < len(stages_a):
         m, t, w, wp = stages_a[i]
@@ -577,7 +613,7 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     sl_y[row_axis] = slice(half, rows)
     xs = U64(x.hi[tuple(sl_x)], x.lo[tuple(sl_x)])
     ys = U64(x.hi[tuple(sl_y)], x.lo[tuple(sl_y)])
-    nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
+    nx, ny = _final_inv_stage_fin(xs, ys, fin, q, two_q)
     hi = jnp.concatenate([nx.hi, ny.hi], axis=row_axis)
     lo = jnp.concatenate([nx.lo, ny.lo], axis=row_axis)
     return U64(hi.reshape(shape), lo.reshape(shape))

@@ -1,0 +1,71 @@
+"""Stacked multi-modulus (RNS) NTT — bit-exactness vs per-modulus singles.
+
+The stacked path (ntt/rns.py) must be position-for-position identical to
+looping single-modulus transforms, including lazy output ranges, on both
+the small-N flat body and the 2D staged body (radix-2 and radix-4 regions).
+"""
+
+import numpy as np
+import pytest
+
+from hexl_tpu import nt
+from hexl_tpu.limb import from_limbs, to_limbs
+from hexl_tpu.ntt import RnsNTT, get_plan, jnp_ntt
+from hexl_tpu.ntt.rns import RnsNttPlan
+
+
+def _basis(n, bit_sizes):
+    moduli = []
+    for bits in bit_sizes:
+        for q in nt.generate_primes(4, bits, True, n):
+            if q not in moduli:
+                moduli.append(q)
+                break
+    return moduli
+
+
+@pytest.mark.parametrize("n", [256, 2048, 8192])
+def test_rns_forward_matches_singles(n):
+    moduli = _basis(n, [50, 60, 29])
+    rns = RnsNTT(n, moduli)
+    rng = np.random.default_rng(7)
+    x = np.stack([rng.integers(0, q, (2, n), dtype=np.uint64)
+                  for q in moduli])
+    for imf, omf in ((1, 1), (2, 4), (4, 4)):
+        y = rns.forward(x, imf, omf)
+        for i, q in enumerate(moduli):
+            plan = get_plan(n, q)
+            yi = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x[i]), plan, imf, omf))
+            np.testing.assert_array_equal(y[i], yi)
+
+
+@pytest.mark.parametrize("n", [256, 2048, 8192])
+def test_rns_inverse_matches_singles(n):
+    moduli = _basis(n, [50, 60, 29])
+    rns = RnsNTT(n, moduli)
+    rng = np.random.default_rng(8)
+    y = np.stack([rng.integers(0, q, (2, n), dtype=np.uint64)
+                  for q in moduli])
+    for imf, omf in ((1, 1), (2, 2)):
+        z = rns.inverse(y, imf, omf)
+        for i, q in enumerate(moduli):
+            plan = get_plan(n, q)
+            zi = from_limbs(jnp_ntt.inv_ntt(to_limbs(y[i]), plan, imf, omf))
+            np.testing.assert_array_equal(z[i], zi)
+
+
+def test_rns_roundtrip():
+    n = 2048
+    moduli = _basis(n, [45, 50])
+    rns = RnsNTT(n, moduli)
+    rng = np.random.default_rng(9)
+    x = np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+    back = rns.inverse(rns.forward(x))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_rns_plan_rejects_duplicates():
+    n = 1024
+    q = nt.generate_primes(1, 45, True, n)[0]
+    with pytest.raises(ValueError):
+        RnsNttPlan(n, [q, q])
