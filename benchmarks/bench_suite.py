@@ -358,6 +358,38 @@ def main():
               f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
               flush=True)
 
+    # ---- Stacked multi-modulus (RNS) NTT vs per-modulus loop ----
+    # The production RNS shape: one polynomial degree over k primes. The
+    # stacked path (ntt/rns.py) runs ONE vmapped transform; the loop runs
+    # k singles inside one jit (what the reference's caller structure
+    # maps to). Same data, bit-identical outputs.
+    if not args.quick:
+        from hexl_tpu.limb import U64
+        from hexl_tpu.ntt import jnp_ntt as _jn
+        from hexl_tpu.ntt.rns import fwd_ntt_rns, get_rns_plan
+        n, kprimes, rbatch = 1 << 14, 4, 32
+        moduli_r = nt.generate_primes(kprimes, 49, True, ntt_size=n)
+        rplan = get_rns_plan(n, moduli_r)
+        x_np = np.stack([rng.integers(0, q, (rbatch, n), np.uint64)
+                         for q in moduli_r])
+        x_r = to_limbs(x_np)
+        fn_stacked = _chained(lambda v: fwd_ntt_rns(v, rplan, 1, 1))
+        dt = _time_dispatch(fn_stacked, (x_r,), iters)
+        record("rns_fwd_ntt_stacked", n, 49, kprimes * rbatch, dt)
+
+        plans_r = [get_plan(n, q) for q in moduli_r]
+
+        def loop_fwd(v):
+            outs = [_jn.fwd_ntt(U64(v.hi[i], v.lo[i]), plans_r[i], 1, 1)
+                    for i in range(kprimes)]
+            import jax.numpy as _jnp
+            return U64(_jnp.stack([o.hi for o in outs]),
+                       _jnp.stack([o.lo for o in outs]))
+
+        fn_loop = _chained(loop_fwd)
+        dt = _time_dispatch(fn_loop, (x_r,), iters)
+        record("rns_fwd_ntt_looped", n, 49, kprimes * rbatch, dt)
+
     # ---- Small-q eltwise regime (q < 2^30, single uint32 plane) ----
     if not args.quick:
         n, q_bits = 8192, 29

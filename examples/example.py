@@ -115,6 +115,19 @@ def example_poly_mult_pipeline():
           f"({num_primes} primes x N={n})")
 
 
+def example_rns_ntt():
+    """Stacked multi-modulus NTT: one fused transform over an RNS basis."""
+    from hexl_tpu.ntt import RnsNTT
+    n, k = 4096, 3
+    moduli = nt.generate_primes(k, 45, True, ntt_size=n)
+    rns = RnsNTT(n, moduli)
+    rng = np.random.default_rng(5)
+    x = np.stack([rng.integers(0, q, n, np.uint64) for q in moduli])
+    back = rns.inverse(rns.forward(x))
+    np.testing.assert_array_equal(np.asarray(back), x)
+    print(f"Done running ExampleRnsNTT ({k} primes stacked, N={n})")
+
+
 def example_fft_like():
     """CKKS-style encode/decode with the FFT-like transform."""
     from hexl_tpu.experimental import FFTLike
@@ -167,6 +180,7 @@ if __name__ == "__main__":
     example_reduce_mod()
     example_ntt()
     example_poly_mult_pipeline()
+    example_rns_ntt()
     example_fft_like()
     example_dyadic_multiply()
     example_large_degree()

@@ -177,6 +177,18 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
 _RNS_PLAN_CACHE: dict = {}
 
 
+def _clear_rns_caches() -> None:
+    """Flushed by plan.clear_plan_cache() so stacked plans and their
+    jitted transforms die with the underlying per-(N, q) plans."""
+    _RNS_PLAN_CACHE.clear()
+    _jitted_rns.cache_clear()
+
+
+from .plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_clear_rns_caches)
+
+
 def get_rns_plan(degree: int, moduli, device=None) -> RnsNttPlan:
     key = (degree, tuple(int(q) for q in moduli),
            None if device is None else str(device))

@@ -8,8 +8,9 @@ from separate kernel calls (fwd NTT -> EltwiseMultMod -> inv NTT); fusing
 removes four HBM round-trips of intermediates and all intermediate
 dispatches.
 
-rns_poly_mult_mod: the same pipeline over an RNS basis (one call per prime,
-batched along the leading axis per prime since q is compile-time static).
+rns_poly_mult_mod: the same pipeline over an RNS basis — the 2k forward and
+k inverse transforms run as two stacked multi-modulus calls (ntt/rns.py)
+inside one jit; only the pointwise multiply loops per prime (trace-time).
 """
 
 from __future__ import annotations
@@ -123,6 +124,29 @@ def poly_mult_mod(a, b, degree: int, modulus: int):
     return from_limbs(out) if (a_host or b_host) else out
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_rns_poly_mult(n: int, moduli: tuple):
+    """Stacked RNS pipeline: the 2k forward + k inverse transforms run as
+    two stacked multi-modulus calls (ntt/rns.py); only the pointwise
+    Barrett multiply stays a per-modulus trace-time loop (its quotient
+    shift is modulus-bit-length dependent, so it cannot vmap across a
+    heterogeneous basis — it is one fused eltwise region per prime)."""
+    from .ntt.rns import fwd_ntt_rns, get_rns_plan, inv_ntt_rns
+    rplan = get_rns_plan(n, moduli)
+
+    def fn(a: U64, b: U64) -> U64:
+        fa = fwd_ntt_rns(a, rplan, 1, 4)
+        fb = fwd_ntt_rns(b, rplan, 1, 4)
+        prods = [K.mult_mod(U64(fa.hi[i], fa.lo[i]),
+                            U64(fb.hi[i], fb.lo[i]), q, 4)
+                 for i, q in enumerate(moduli)]
+        stacked = U64(jnp.stack([p.hi for p in prods]),
+                      jnp.stack([p.lo for p in prods]))
+        return inv_ntt_rns(stacked, rplan, 1, 1)
+
+    return jax.jit(fn)
+
+
 def rns_poly_mult_mod(a, b, degree: int, moduli):
     """Per-prime negacyclic products: a, b shaped (num_primes, ..., N) with
     residues along the leading axis; returns the same shape."""
@@ -130,6 +154,10 @@ def rns_poly_mult_mod(a, b, degree: int, moduli):
     a_l, a_host = coerce_limbs(a)
     b_l, b_host = coerce_limbs(b)
     host = a_host or b_host
+    if (len(set(moduli)) == len(moduli) and len(moduli) > 1
+            and not config.use_pallas()):
+        out = _jitted_rns_poly_mult(degree, tuple(moduli))(a_l, b_l)
+        return from_limbs(out) if host else out
     outs = []
     for i, q in enumerate(moduli):
         outs.append(poly_mult_mod(U64(a_l.hi[i], a_l.lo[i]),
@@ -138,3 +166,9 @@ def rns_poly_mult_mod(a, b, degree: int, moduli):
         return np.stack([from_limbs(o) for o in outs])
     return U64(jnp.stack([o.hi for o in outs]),
                jnp.stack([o.lo for o in outs]))
+
+
+from .ntt.plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_jitted_poly_mult.cache_clear)
+_register_clear_hook(_jitted_rns_poly_mult.cache_clear)
