@@ -358,6 +358,36 @@ def main():
               f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
               flush=True)
 
+    # ---- DyadicMultiply (ct x ct in NTT form; no reference bench —
+    # the reference benchmarks neither SEAL shim, benchmark/ has no
+    # bench-dyadic file — recorded without a baseline column) ----
+    if not args.quick:
+        from hexl_tpu.experimental.dyadic import _jitted as _dyadic_jitted
+        n_d, m_d = 1 << 14, 4
+        moduli_d = tuple(nt.generate_primes(m_d, 50, True, ntt_size=n_d))
+        x_np = np.stack([np.stack([rng.integers(0, q, n_d, np.uint64)
+                                   for q in moduli_d]) for _ in range(2)])
+        y_np = np.stack([np.stack([rng.integers(0, q, n_d, np.uint64)
+                                   for q in moduli_d]) for _ in range(2)])
+        x_d, y_d = to_limbs(x_np), to_limbs(y_np)
+        dy = _dyadic_jitted(moduli_d)
+
+        def dy_step(c, y):
+            # output (3, M, n) -> reuse first two polys as next operand
+            out = dy(c, y)
+            from hexl_tpu.limb import U64 as _U
+            return _U(out.hi[:2], out.lo[:2])
+
+        fn = _chained(lambda c: dy_step(c, y_d))
+        dt = _time_dispatch(fn, (x_d,), iters)
+        us = dt / CHAIN * 1e6
+        rows.append({"kernel": "dyadic_multiply", "n": n_d, "q_bits": 50,
+                     "batch": m_d, "chain": CHAIN,
+                     "us_per_call": round(us, 4),
+                     "calls_per_sec": round(CHAIN / dt, 1)})
+        print(f"{'dyadic_multiply':24s} N={n_d:<6d} q=50b batch={m_d:<4d} "
+              f"{us:10.3f} us/call", flush=True)
+
     # ---- Stacked multi-modulus (RNS) NTT vs per-modulus loop ----
     # The production RNS shape: one polynomial degree over k primes. The
     # stacked path (ntt/rns.py) runs ONE vmapped transform; the loop runs

@@ -225,18 +225,27 @@ class RnsNTT:
         self.degree = degree
         self.moduli = self.plan.moduli
 
-    def forward(self, x, input_mod_factor: int = 1,
-                output_mod_factor: int = 1):
+    def _dispatch(self, x, fwd: bool, imf: int, omf: int):
         host = not isinstance(x, U64)
         xl = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
-        out = _jitted_rns(self._key, True, input_mod_factor,
-                          output_mod_factor)(xl)
+        if xl.lo.ndim < 2 or xl.lo.shape[0] != len(self.moduli):
+            raise ValueError(
+                f"input leading axis must be the {len(self.moduli)}-prime "
+                f"basis axis, got shape {xl.lo.shape}")
+        from ..utils import check as _chk
+        if _chk.debug_enabled():
+            for i, q in enumerate(self.moduli):
+                _chk.check_bounds(
+                    U64(xl.hi[i], xl.lo[i]), imf * q,
+                    f"{'forward' if fwd else 'inverse'} RNS NTT input "
+                    f"(prime {i})")
+        out = _jitted_rns(self._key, fwd, imf, omf)(xl)
         return from_limbs(out) if host else out
+
+    def forward(self, x, input_mod_factor: int = 1,
+                output_mod_factor: int = 1):
+        return self._dispatch(x, True, input_mod_factor, output_mod_factor)
 
     def inverse(self, x, input_mod_factor: int = 1,
                 output_mod_factor: int = 1):
-        host = not isinstance(x, U64)
-        xl = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
-        out = _jitted_rns(self._key, False, input_mod_factor,
-                          output_mod_factor)(xl)
-        return from_limbs(out) if host else out
+        return self._dispatch(x, False, input_mod_factor, output_mod_factor)

@@ -69,3 +69,22 @@ def test_rns_plan_rejects_duplicates():
     q = nt.generate_primes(1, 45, True, n)[0]
     with pytest.raises(ValueError):
         RnsNttPlan(n, [q, q])
+
+
+def test_rns_rejects_wrong_basis_axis():
+    n = 1024
+    moduli = _basis(n, [45, 50])
+    rns = RnsNTT(n, moduli)
+    bad = np.zeros((3, n), dtype=np.uint64)  # 3 rows for a 2-prime basis
+    with pytest.raises(ValueError):
+        rns.forward(bad)
+
+
+def test_rns_debug_bounds(monkeypatch):
+    monkeypatch.setenv("HEXL_TPU_DEBUG", "1")
+    n = 1024
+    moduli = _basis(n, [45, 50])
+    rns = RnsNTT(n, moduli)
+    bad = np.stack([np.full(n, q, dtype=np.uint64) for q in moduli])
+    with pytest.raises(ValueError):
+        rns.forward(bad)  # == q is out of range for IMF=1
