@@ -109,6 +109,21 @@ def ntt_radix() -> int:
     return {"2": 2, "8": 8}.get(v, 4)
 
 
+def fft_radix() -> int:
+    """Stage walker for the double-float FFT 2D bodies (default 2).
+
+    Radix-4 pairing is bit-identical eagerly but CORRUPTS the Dekker
+    error planes under XLA-CPU jit (products duplicated across fusions
+    get FMA-contracted in one copy: fwd error degrades 8e-15 -> 6e-8;
+    optimization_barrier between levels does not help — measured
+    2026-08-17). Kept opt-in (HEXL_TPU_FFT_RADIX=4) for per-backend
+    A/B: the TPU compiler may not contract the same way.
+    """
+    import os
+    v = os.environ.get("HEXL_TPU_FFT_RADIX", "2")
+    return {"4": 4}.get(v, 2)
+
+
 def approx_butterflies() -> bool:
     """Approximate-mulhi Shoup butterflies in the device NTT bodies.
 

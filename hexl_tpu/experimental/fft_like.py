@@ -147,22 +147,117 @@ def _bfly_inv_df(xs, ys, w):
                                            D.cdf_presplit(w))
 
 
+def _t_split4(x, axis: int, m: int, part: int):
+    """Pytree-generic jnp_ntt._split4: one axis of size m*4*part -> the 4
+    part sub-arrays + a concat reassembly (one materialization per TWO
+    butterfly stages — the DF planes pay 4x the NTT's relayout cost per
+    stage, re/im x hi/lo, so stage pairing saves twice as much here)."""
+    def rs(p):
+        s = p.shape
+        return p.reshape(s[:axis] + (m, 4 * part) + s[axis + 1:])
+    v = _tmap(rs, x)
+    ndim = v.re.hi.ndim
+    qs = []
+    for j in range(4):
+        sl = [slice(None)] * ndim
+        sl[axis + 1] = slice(j * part, (j + 1) * part)
+        qs.append(_tmap(lambda p, sl=tuple(sl): p[sl], v))
+
+    def join(q0, q1, q2, q3):
+        def cat(a, b, c, d):
+            h = jnp.concatenate([a, b, c, d], axis=axis + 1)
+            s = h.shape
+            return h.reshape(s[:axis] + (m * 4 * part,) + s[axis + 2:])
+        return _tmap(cat, q0, q1, q2, q3)
+
+    return qs, join
+
+
+def _t_even_odd_a(w, m: int):
+    """Phase-A stage table (2m,) -> even/odd halves as (m, 1, 1)."""
+    def sel(j):
+        return _tmap(lambda p: p.reshape(m, 2)[:, j][:, None, None], w)
+    return sel(0), sel(1)
+
+
+def _t_even_odd_b(w, nb: int):
+    """Phase-B stage table (tiles, 2nb, L) -> even/odd (tiles, nb, 1, L)."""
+    def sel(j):
+        return _tmap(lambda p: p.reshape(p.shape[0], nb, 2, p.shape[2])
+                     [:, :, j][:, :, None, :], w)
+    return sel(0), sel(1)
+
+
+def _fwd_radix4_df(qs, w1, w2a, w2b):
+    """Two forward DF levels fused (same op order as two sequential
+    radix-2 stages -> bit-identical; mirrors jnp_ntt._fwd_radix4_step)."""
+    q0, q1, q2, q3 = qs
+    a0, c0 = _bfly_fwd_df(q0, q2, w1)
+    b0, d0 = _bfly_fwd_df(q1, q3, w1)
+    a1, b1 = _bfly_fwd_df(a0, b0, w2a)
+    c1, d1 = _bfly_fwd_df(c0, d0, w2b)
+    return a1, b1, c1, d1
+
+
+def _inv_radix4_df(qs, w1a, w1b, w2):
+    """Two inverse DF levels fused (mirrors jnp_ntt._inv_radix4_step)."""
+    q0, q1, q2, q3 = qs
+    a0, b0 = _bfly_inv_df(q0, q1, w1a)
+    c0, d0 = _bfly_inv_df(q2, q3, w1b)
+    a1, c1 = _bfly_inv_df(a0, c0, w2)
+    b1, d1 = _bfly_inv_df(b0, d0, w2)
+    return a1, b1, c1, d1
+
+
+def _fft_radix(n: int) -> int:
+    """Stage-pairing factor for the DF walkers. Defaults to radix-2:
+    radix-4 is bit-identical eagerly but corrupts the Dekker error planes
+    under XLA-CPU jit (see config.fft_radix); opt-in via
+    HEXL_TPU_FFT_RADIX=4 for per-backend measurement."""
+    return config.fft_radix() if n >= (1 << 13) else 2
+
+
 def _fwd_2d_df(x, st, n, rows, tiles, lane_l, scalar):
     """Forward staged transform; `st` is (fwd_a, fwd_b) stage lists."""
     from . import df32 as D
     shape = x.re.hi.shape
     x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
     row_axis = x.re.hi.ndim - 2
-    for m, t, w, _ in st[0]:
+    radix = _fft_radix(n)
+    stages_a = list(st[0])
+    i = 0
+    while i < len(stages_a):
+        m, t, w, _ = stages_a[i]
+        if radix >= 4 and i + 1 < len(stages_a):
+            m2, t2, w2, _ = stages_a[i + 1]
+            qs, join = _t_split4(x, row_axis, m, t2 // 128)
+            w2a, w2b = _t_even_odd_a(w2, m2 // 2)
+            x = join(*_fwd_radix4_df(
+                qs, _tmap(lambda p: p[:, None, None], w), w2a, w2b))
+            i += 2
+            continue
         xs, ys, join = _t_split2(x, row_axis, m, t // 128)
         x = join(*_bfly_fwd_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
+        i += 1
     x = _t_transpose_tiles(x, tiles, lane_l)
     c_axis = x.re.hi.ndim - 2
-    for m, t, w, _ in st[1]:
+    stages_b = list(st[1])
+    i = 0
+    while i < len(stages_b):
+        m, t, w, _ = stages_b[i]
         nb = 128 // (2 * t)
+        if radix >= 4 and i + 1 < len(stages_b):
+            m2, t2, w2, _ = stages_b[i + 1]
+            qs, join = _t_split4(x, c_axis, nb, t2)
+            w2a, w2b = _t_even_odd_b(w2, nb)
+            x = join(*_fwd_radix4_df(
+                qs, _tmap(lambda p: p[:, :, None, :], w), w2a, w2b))
+            i += 2
+            continue
         xs, ys, join = _t_split2(x, c_axis, nb, t)
         x = join(*_bfly_fwd_df(xs, ys,
                                _tmap(lambda p: p[:, :, None, :], w)))
+        i += 1
     x = _t_untranspose_tiles(x, rows)
     x = _tmap(lambda p: p.reshape(shape), x)
     if scalar is not None:
@@ -181,16 +276,41 @@ def _inv_2d_df(x, st, n, rows, tiles, lane_l, w_final, scalar):
     x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
     x = _t_transpose_tiles(x, tiles, lane_l)
     c_axis = x.re.hi.ndim - 2
-    for m, t, w, _ in st[0]:
+    radix = _fft_radix(n)
+    stages_b = list(st[0])
+    i = 0
+    while i < len(stages_b):
+        m, t, w, _ = stages_b[i]
         nb = 128 // (2 * t)
+        if radix >= 4 and i + 1 < len(stages_b):
+            m2, t2, w2, _ = stages_b[i + 1]
+            qs, join = _t_split4(x, c_axis, nb // 2, t)
+            w1a, w1b = _t_even_odd_b(w, nb // 2)
+            x = join(*_inv_radix4_df(
+                qs, w1a, w1b, _tmap(lambda p: p[:, :, None, :], w2)))
+            i += 2
+            continue
         xs, ys, join = _t_split2(x, c_axis, nb, t)
         x = join(*_bfly_inv_df(xs, ys,
                                _tmap(lambda p: p[:, :, None, :], w)))
+        i += 1
     x = _t_untranspose_tiles(x, rows)
     row_axis = x.re.hi.ndim - 2
-    for m, t, w, _ in st[1]:
+    stages_a = list(st[1])
+    i = 0
+    while i < len(stages_a):
+        m, t, w, _ = stages_a[i]
+        if radix >= 4 and i + 1 < len(stages_a):
+            m2, t2, w2, _ = stages_a[i + 1]
+            qs, join = _t_split4(x, row_axis, m // 2, t // 128)
+            w1a, w1b = _t_even_odd_a(w, m // 2)
+            x = join(*_inv_radix4_df(
+                qs, w1a, w1b, _tmap(lambda p: p[:, None, None], w2)))
+            i += 2
+            continue
         xs, ys, join = _t_split2(x, row_axis, m, t // 128)
         x = join(*_bfly_inv_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
+        i += 1
     # Final stage pairs row r with row r + rows/2; fuse `scalar` if given.
     xs, ys, join = _t_split2(x, row_axis, 1, rows // 2)
     tx = D.cdf_add(xs, ys)

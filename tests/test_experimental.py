@@ -248,6 +248,60 @@ def test_fft_like_double_float_precision():
     assert rel < 1e-12, rel
 
 
+def test_fft_like_df_precision_large_jit():
+    """DF accuracy vs the true f64 oracle UNDER JIT at a 2D radix-eligible
+    size. Guards against XLA fusion/FMA-contraction regressions corrupting
+    the Dekker error planes (measured failure mode: radix-4 stage pairing
+    degrades fwd from 8e-15 to 6e-8 — which is why fft_radix defaults
+    to 2; see config.fft_radix)."""
+    import jax
+    from hexl_tpu.experimental.fft_like import FFTLike
+    if not jax.config.jax_enable_x64:
+        pytest.skip("f64 reference transform needs x64 (CPU test mode)")
+    n = 8192
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    ref_e = FFTLike(n, precision="f64")
+    df_e = FFTLike(n, precision="double_float")
+    for direction in ("forward", "inverse"):
+        got = np.asarray(getattr(df_e, direction)(x))
+        exp = np.asarray(getattr(ref_e, direction)(x))
+        rel = np.max(np.abs(got - exp)) / np.max(np.abs(exp))
+        assert rel < 1e-12, (direction, rel)
+
+
+def test_fft_like_df_radix4_pairing_eager():
+    """The radix-4 DF walkers are bit-identical to radix-2 when run
+    eagerly (same ops, same order) — the opt-in HEXL_TPU_FFT_RADIX=4
+    path stays correct even though it is default-off (jit contraction
+    hazard, config.fft_radix)."""
+    import os
+    from unittest import mock
+    from hexl_tpu.experimental import fft_like as FL
+    from hexl_tpu.experimental.df32 import (cdf_from_complex128,
+                                            cdf_to_complex128)
+    n = 8192
+    fft = FL.FFTLike(n, precision="double_float")
+    rng = np.random.default_rng(14)
+    z = rng.normal(size=n) + 1j * rng.normal(size=n)
+    zc = cdf_from_complex128(z)
+
+    def fwd(radix):
+        with mock.patch.dict(os.environ, {"HEXL_TPU_FFT_RADIX": radix}):
+            return cdf_to_complex128(FL._fwd_2d_df(
+                zc, fft._st_fwd, n, fft._rows, fft._tiles, fft._lane_l,
+                None))
+
+    def inv(radix):
+        with mock.patch.dict(os.environ, {"HEXL_TPU_FFT_RADIX": radix}):
+            return cdf_to_complex128(FL._inv_2d_df(
+                zc, fft._st_inv, n, fft._rows, fft._tiles, fft._lane_l,
+                fft._w_final, None))
+
+    np.testing.assert_array_equal(fwd("2"), fwd("4"))
+    np.testing.assert_array_equal(inv("2"), inv("4"))
+
+
 def test_fft_like_2d_staged_matches_flat():
     """The 2D phase-split DF walk (n >= 1024) is a storage permutation of
     the flat walk — identical butterflies in identical order, so outputs
