@@ -200,8 +200,7 @@ def get_rns_plan(degree: int, moduli, device=None) -> RnsNttPlan:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_rns(rplan_key, fwd: bool, imf: int, omf: int):
-    rplan = _RNS_PLAN_CACHE[rplan_key]
+def _jitted_rns(rplan: RnsNttPlan, fwd: bool, imf: int, omf: int):
     fn = fwd_ntt_rns if fwd else inv_ntt_rns
     return jax.jit(lambda x: fn(x, rplan, imf, omf))
 
@@ -219,8 +218,6 @@ class RnsNTT:
     """
 
     def __init__(self, degree: int, moduli, device=None):
-        self._key = (degree, tuple(int(q) for q in moduli),
-                     None if device is None else str(device))
         self.plan = get_rns_plan(degree, moduli, device)
         self.degree = degree
         self.moduli = self.plan.moduli
@@ -239,7 +236,7 @@ class RnsNTT:
                     U64(xl.hi[i], xl.lo[i]), imf * q,
                     f"{'forward' if fwd else 'inverse'} RNS NTT input "
                     f"(prime {i})")
-        out = _jitted_rns(self._key, fwd, imf, omf)(xl)
+        out = _jitted_rns(self.plan, fwd, imf, omf)(xl)
         return from_limbs(out) if host else out
 
     def forward(self, x, input_mod_factor: int = 1,
