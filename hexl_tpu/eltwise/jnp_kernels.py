@@ -18,10 +18,11 @@ import jax.numpy as jnp
 
 from .. import nt
 from ..limb import (U64, add64, cond_sub64, const64, ge64, gt64, le64, lt64,
-                    mult_mod_barrett, mul64_wide, mullo64, mulhi64,
-                    montgomery_reduce_u128, barrett_reduce_u64,
-                    reduce_mod_lazy64, select64, shoup_mul_lazy, sub64,
-                    eq64)
+                    mult_mod_barrett, mult_mod_barrett_approx, mul64_wide,
+                    mullo64, mulhi64, montgomery_reduce_u128,
+                    barrett_reduce_u64, barrett_reduce_u64_approx,
+                    reduce_mod_lazy64, select64, shoup_mul_lazy,
+                    shoup_mul_lazy_approx, sub64, eq64)
 
 ScalarOrU64 = Union[int, U64]
 
@@ -36,6 +37,15 @@ _CMP_FNS = {
     "nle": lambda a, b: gt64(a, b),
     "true": lambda a, b: jnp.ones(a.lo.shape, dtype=bool),
 }
+
+
+def _approx() -> bool:
+    """Approximate-mulhi quotients in the eltwise Barrett/Shoup bodies:
+    same dispatch rule as the NTT butterflies (config.approx_butterflies —
+    TPU backend only, HEXL_TPU_DISABLE_APPROX kill switch). Fully-reduced
+    outputs are bit-identical either way; OMF=2 lazy outputs agree mod q."""
+    from .. import config as _config
+    return _config.approx_butterflies()
 
 
 def _as_u64_operand(b: ScalarOrU64) -> U64:
@@ -70,6 +80,8 @@ def mult_mod(a: U64, b: U64, modulus: int, input_mod_factor: int = 1) -> U64:
         raise ValueError("input_mod_factor must be 1, 2 or 4")
     x = reduce_mod_lazy64(a, modulus, input_mod_factor)
     y = reduce_mod_lazy64(b, modulus, input_mod_factor)
+    if _approx():
+        return mult_mod_barrett_approx(x, y, modulus)
     return mult_mod_barrett(x, y, modulus)
 
 
@@ -94,7 +106,11 @@ def fma_mod_preconned(arg1: U64, w: U64, wp: U64, arg3: Optional[U64],
     (w = arg2 mod q, wp = floor(w << 64 / q)) — lets dispatchers pass the
     scalar as a traced operand so one compile serves every scalar value."""
     x = reduce_mod_lazy64(arg1, modulus, input_mod_factor)
-    prod = shoup_mul_lazy(x, w, wp, modulus)
+    if _approx():
+        prod = shoup_mul_lazy_approx(x, w, wp, modulus,
+                                     const64(2 * modulus))
+    else:
+        prod = shoup_mul_lazy(x, w, wp, modulus)
     prod = cond_sub64(prod, const64(modulus))
     if arg3 is None:
         return prod
@@ -111,7 +127,8 @@ def reduce_mod(a: U64, modulus: int, input_mod_factor: int,
         return a
     if input_mod_factor == modulus:
         q_barr = nt.barrett_factor(1, 64, modulus)
-        red = barrett_reduce_u64(a, modulus, q_barr, output_mod_factor)
+        br = barrett_reduce_u64_approx if _approx() else barrett_reduce_u64
+        red = br(a, modulus, q_barr, output_mod_factor)
         return select64(ge64(a, const64(modulus)), red, a)
     if input_mod_factor == 2:
         return cond_sub64(a, const64(modulus))
@@ -137,7 +154,8 @@ def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: ScalarOrU64,
     """
     mask = compare(cmp, a, bound)
     q_barr = nt.barrett_factor(1, 64, modulus)
-    red = barrett_reduce_u64(a, modulus, q_barr, 1)
+    br = barrett_reduce_u64_approx if _approx() else barrett_reduce_u64
+    red = br(a, modulus, q_barr, 1)
     sub = cond_sub64(
         add64(sub64(red, _as_u64_operand(diff)), const64(modulus)),
         const64(modulus))
@@ -149,6 +167,8 @@ def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: ScalarOrU64,
 def montgomery_form_in(a: U64, modulus: int, r: int = 64) -> U64:
     """a * R mod q (enter Montgomery form), a in [0, q)."""
     R_mod_q = (1 << r) % modulus
+    if _approx():
+        return mult_mod_barrett_approx(a, const64(R_mod_q), modulus)
     return mult_mod_barrett(a, const64(R_mod_q), modulus)
 
 

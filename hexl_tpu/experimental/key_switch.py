@@ -38,10 +38,16 @@ def _barrett_reduce_128(t: U128, modulus: int) -> U64:
     t mod q = (hi mod q)*(2^64 mod q) + (lo mod q)  (mod q).
     """
     q_barr = nt.barrett_factor(1, 64, modulus)
-    hi_red = barrett_reduce_u64(t.hi, modulus, q_barr, 1)
-    lo_red = barrett_reduce_u64(t.lo, modulus, q_barr, 1)
+    # Fully-reduced outputs are bit-identical between the exact and
+    # approx-quotient forms, so the flush follows the eltwise dispatch
+    # rule (K._approx: approx on TPU, exact on CPU/oracle).
+    from ..limb import barrett_reduce_u64_approx, mult_mod_barrett_approx
+    br = barrett_reduce_u64_approx if K._approx() else barrett_reduce_u64
+    mm = mult_mod_barrett_approx if K._approx() else mult_mod_barrett
+    hi_red = br(t.hi, modulus, q_barr, 1)
+    lo_red = br(t.lo, modulus, q_barr, 1)
     r_mod_q = (1 << 64) % modulus
-    folded = mult_mod_barrett(hi_red, const64(r_mod_q), modulus)
+    folded = mm(hi_red, const64(r_mod_q), modulus)
     return K.add_mod(folded, lo_red, modulus)
 
 
@@ -150,7 +156,9 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
                        for k in range(key_component_count)]),
             plans[qk], 2, 2)
         q_barr = nt.barrett_factor(1, 64, qk)
-        t_last_stack = barrett_reduce_u64(
+        from ..limb import barrett_reduce_u64_approx as _br_approx
+        _br = _br_approx if K._approx() else barrett_reduce_u64
+        t_last_stack = _br(
             add64(t_last_stack, const64(qk_half)), qk, q_barr, 1)
 
         # The per-(k, i) forward NTTs differ in modulus along i only: one

@@ -319,6 +319,22 @@ def barrett_reduce_u64(x: U64, modulus: int, q_barr: int,
     return r
 
 
+def barrett_reduce_u64_approx(x: U64, modulus: int, q_barr: int,
+                              output_mod_factor: int = 1) -> U64:
+    """barrett_reduce_u64 with the quotient mulhi approximated.
+
+    The <=1 quotient error widens the raw range from [0,2q) to [0,3q)
+    (exact mod 2^64 while q < 2^62); one extra conditional subtract of 2q
+    restores the OMF=2 contract. Agrees with barrett_reduce_u64 mod q.
+    """
+    q_hat = mulhi64_approx(x, const64(q_barr))
+    r = sub64(x, mullo64(q_hat, const64(modulus)))
+    r = cond_sub64(r, const64(2 * modulus))
+    if output_mod_factor == 1:
+        r = cond_sub64(r, const64(modulus))
+    return r
+
+
 def mult_mod_barrett(x: U64, y: U64, modulus: int) -> U64:
     """(x * y) mod q for x, y in [0, q), q < 2^62, output in [0, q).
 
@@ -338,6 +354,29 @@ def mult_mod_barrett(x: U64, y: U64, modulus: int) -> U64:
     c1 = shr128_to64(prod, shift)
     q_hat = mulhi64(c1, const64(mu))
     z = sub64(prod.lo, mullo64(q_hat, const64(modulus)))
+    return cond_sub64(z, const64(modulus))
+
+
+def mult_mod_barrett_approx(x: U64, y: U64, modulus: int) -> U64:
+    """mult_mod_barrett with the quotient mulhi approximated (4 fewer
+    lane multiplies of the 38 the exact form issues).
+
+    q_hat may be 1 too small, widening the pre-reduction range from
+    [0,2q) to [0,3q) — still exact mod 2^64 for q < 2^62 — absorbed by
+    one extra conditional subtract. Agrees with mult_mod_barrett mod q.
+    (Same approx-mulhi trade as the reference's AVX512-64 kernels,
+    avx512-util.hpp:153-185.)
+    """
+    n_bits = modulus.bit_length()
+    if modulus >= (1 << 62):
+        raise ValueError("modulus must be < 2^62")
+    shift = n_bits - 2
+    mu = (1 << (n_bits + 62)) // modulus
+    prod = mul64_wide(x, y)
+    c1 = shr128_to64(prod, shift)
+    q_hat = mulhi64_approx(c1, const64(mu))
+    z = sub64(prod.lo, mullo64(q_hat, const64(modulus)))
+    z = cond_sub64(z, const64(2 * modulus))
     return cond_sub64(z, const64(modulus))
 
 

@@ -205,3 +205,39 @@ def test_fused_multi_op_pipeline_pallas_runner(monkeypatch):
     # Must agree with the XLA-fused composition bit-for-bit.
     xla = from_limbs(mac(*(to_limbs(v) for v in (a, b, c, d))))
     np.testing.assert_array_equal(got, xla)
+
+
+def test_approx_quotient_bodies_match_exact(monkeypatch):
+    """The eltwise kernels trace approximate-mulhi quotients on the TPU
+    backend (jnp_kernels._approx). Force that dispatch here on CPU and
+    check each affected body is bit-identical to the exact trace (all
+    their public output contracts are fully reduced or compared mod q)."""
+    from hexl_tpu.eltwise import jnp_kernels as K
+    from hexl_tpu.limb import const64, from_limbs, to_limbs
+
+    q = nt.generate_primes(1, 61, True)[0]
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, q, size=400, dtype=np.uint64)
+    b = rng.integers(0, q, size=400, dtype=np.uint64)
+    big = rng.integers(0, 1 << 64, size=400, dtype=np.uint64)
+    la, lb, lbig = to_limbs(a), to_limbs(b), to_limbs(big)
+    w = int(rng.integers(0, q))
+    lw = const64(w)
+    lwp = const64(nt.barrett_factor(w, 64, q))
+
+    cases = [
+        lambda: K.mult_mod(la, lb, q, 1),
+        lambda: K.fma_mod_preconned(la, lw, lwp, lb, q, 1),
+        lambda: K.reduce_mod(lbig, q, q, 1),
+        lambda: K.cmp_sub_mod(lbig, q, "nlt", 1 << 62, int(b[0])),
+        lambda: K.montgomery_form_in(la, q),
+    ]
+    exact = [from_limbs(fn()) for fn in cases]
+    monkeypatch.setattr(K, "_approx", lambda: True)
+    approx = [from_limbs(fn()) for fn in cases]
+    for e, g in zip(exact, approx):
+        np.testing.assert_array_equal(g, e)
+    # The OMF=2 contract under approx: range holds, values agree mod q.
+    lazy = from_limbs(K.reduce_mod(lbig, q, q, 2))
+    assert np.all(lazy < np.uint64(2 * q))
+    np.testing.assert_array_equal(lazy % np.uint64(q), big % np.uint64(q))

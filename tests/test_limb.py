@@ -189,3 +189,38 @@ def test_shoup_mul_lazy_approx():
     assert np.all(got < np.uint64(2 * q))
     np.testing.assert_array_equal(
         got % np.uint64(q), (x.astype(object) * w % q).astype(np.uint64))
+
+
+@pytest.mark.parametrize("q_bits", [30, 45, 50, 60, 61])
+def test_mult_mod_barrett_approx(q_bits):
+    """Fully-reduced output must be bit-identical to the exact form."""
+    q = nt.generate_primes(1, q_bits, True)[0]
+    rng = np.random.default_rng(q_bits + 77)
+    x = rng.integers(0, q, size=400, dtype=np.uint64)
+    y = rng.integers(0, q, size=400, dtype=np.uint64)
+    x[:3] = [q - 1, q - 1, 0]
+    y[:3] = [q - 1, 1, q - 1]
+    lx, ly = limb.to_limbs(x), limb.to_limbs(y)
+    exact = limb.from_limbs(
+        jax.jit(lambda a, b: limb.mult_mod_barrett(a, b, q))(lx, ly))
+    approx = limb.from_limbs(
+        jax.jit(lambda a, b: limb.mult_mod_barrett_approx(a, b, q))(lx, ly))
+    np.testing.assert_array_equal(approx, exact)
+    exp = (x.astype(object) * y.astype(object) % q).astype(np.uint64)
+    np.testing.assert_array_equal(approx, exp)
+
+
+@pytest.mark.parametrize("q_bits", [30, 45, 50, 61])
+def test_barrett_reduce_u64_approx(q_bits):
+    q = nt.generate_primes(1, q_bits, True)[0]
+    q_barr = nt.barrett_factor(1, 64, q)
+    rng = np.random.default_rng(q_bits + 200)
+    # Full uint64 input range including the extreme corners.
+    x = rng.integers(0, 1 << 64, size=400, dtype=np.uint64)
+    x[:3] = [0xFFFFFFFFFFFFFFFF, 0, q - 1]
+    lx = limb.to_limbs(x)
+    got = limb.from_limbs(limb.barrett_reduce_u64_approx(lx, q, q_barr))
+    np.testing.assert_array_equal(got, x % np.uint64(q))
+    lazy = limb.from_limbs(limb.barrett_reduce_u64_approx(lx, q, q_barr, 2))
+    assert np.all(lazy < np.uint64(2 * q))
+    np.testing.assert_array_equal(lazy % np.uint64(q), x % np.uint64(q))
