@@ -56,9 +56,11 @@ def ntt_backend() -> str:
     HEXL_TPU_NTT_BACKEND=pallas restores the fused kernels (the round-1
     toolchain had the opposite ordering — re-measure per deployment).
     """
-    import os
     v = os.environ.get("HEXL_TPU_NTT_BACKEND", "xla").lower()
-    return v if v in ("xla", "pallas") else "xla"
+    if v not in ("xla", "pallas"):
+        raise ValueError(
+            f"HEXL_TPU_NTT_BACKEND must be 'xla' or 'pallas'; got {v!r}")
+    return v
 
 
 def use_pallas() -> bool:
@@ -86,11 +88,12 @@ def dist_overlap_slices() -> int:
     SNIPPETS.md §1 overlap pattern expressed at the collective level).
     0/unset = single blocking exchange per phase.
     """
-    import os
+    v = os.environ.get("HEXL_TPU_DIST_OVERLAP", "0")
     try:
-        return int(os.environ.get("HEXL_TPU_DIST_OVERLAP", "0"))
+        return int(v)
     except ValueError:
-        return 0
+        raise ValueError(
+            f"HEXL_TPU_DIST_OVERLAP must be an integer; got {v!r}") from None
 
 
 def ntt_radix() -> int:
@@ -104,9 +107,11 @@ def ntt_radix() -> int:
     The reference ships radix-4 for the same cache-traffic reason
     (hexl/ntt/ntt-radix-4.cpp). Override: HEXL_TPU_NTT_RADIX=2|4|8.
     """
-    import os
-    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4")
-    return {"2": 2, "8": 8}.get(v, 4)
+    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4").strip()
+    if v not in ("2", "4", "8"):
+        raise ValueError(
+            f"HEXL_TPU_NTT_RADIX must be 2, 4 or 8; got {v!r}")
+    return int(v)
 
 
 def fft_radix() -> int:
@@ -119,9 +124,22 @@ def fft_radix() -> int:
     2026-08-17). Kept opt-in (HEXL_TPU_FFT_RADIX=4) for per-backend
     A/B: the TPU compiler may not contract the same way.
     """
-    import os
-    v = os.environ.get("HEXL_TPU_FFT_RADIX", "2")
-    return {"4": 4}.get(v, 2)
+    v = os.environ.get("HEXL_TPU_FFT_RADIX", "2").strip()
+    if v not in ("2", "4"):
+        raise ValueError(
+            f"HEXL_TPU_FFT_RADIX must be 2 or 4; got {v!r}")
+    return int(v)
+
+
+def trace_config() -> tuple:
+    """Hashable snapshot of every dispatch setting the traced bodies read
+    at trace time (backend, stage-walker radixes, approx-mulhi, eltwise
+    runner). Every jit cache in the package includes this in its key, so
+    toggling an env switch mid-process (an in-process A/B) retraces
+    instead of silently reusing the first-traced configuration."""
+    return (ntt_backend(), ntt_radix(), fft_radix(), approx_butterflies(),
+            force_pallas_eltwise(), dist_overlap_slices(),
+            default_backend())
 
 
 def approx_butterflies() -> bool:

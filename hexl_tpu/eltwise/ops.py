@@ -47,9 +47,16 @@ def _run(body, ins):
     return body(*ins)
 
 
-@functools.lru_cache(maxsize=None)
 def _jitted(op: str, *static):
-    """Build + jit the op with its static parameters baked in."""
+    """Build + jit the op with its static parameters baked in. The jit
+    cache is additionally keyed on config.trace_config(): the bodies read
+    the approx-mulhi/runner switches at trace time, so an env toggle
+    mid-process must retrace rather than reuse the first trace."""
+    return _jitted_impl(config.trace_config(), op, *static)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_impl(_cfg, op: str, *static):
     if op == "add_mod_vv":
         (q,) = static
         kk = K32.add_mod32 if q < _SMALL_Q else K.add_mod

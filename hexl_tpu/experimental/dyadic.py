@@ -21,7 +21,9 @@ from ..limb import U64, from_limbs, to_limbs
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted(moduli: tuple):
+def _jitted(moduli: tuple, _cfg=None):
+    # _cfg = config.trace_config(): the eltwise bodies read the
+    # approx-mulhi switch at trace time, so env toggles must retrace.
     def fn(x: U64, y: U64):
         # x, y: (2, M, n); per-modulus static constants -> unrolled loop.
         outs0, outs1, outs2 = [], [], []
@@ -56,5 +58,6 @@ def dyadic_multiply(operand1, operand2, moduli):
     from ..limb import coerce_limbs
     x, x_host = coerce_limbs(operand1)
     y, y_host = coerce_limbs(operand2)
-    out = _jitted(moduli)(x, y)
+    from .. import config as _config
+    out = _jitted(moduli, _config.trace_config())(x, y)
     return from_limbs(out) if (x_host or y_host) else out

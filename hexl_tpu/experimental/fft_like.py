@@ -425,6 +425,7 @@ class FFTLike:
         if degree <= 8:
             raise ValueError("degree should be bigger than 8")
         self.n = degree
+        self._jit_memo = {}
         self.scalar = scalar
         self.scale = scalar / degree if scalar is not None else None
         self.inv_scale = 1.0 / scalar if scalar is not None else None
@@ -489,25 +490,41 @@ class FFTLike:
                               scalar)
         return _stage_loop_inv_df(x, self.inv_table, self.n, scalar)
 
-    @functools.cached_property
+    # The jitted walkers read config.fft_radix() at trace time; the
+    # per-instance memo is keyed on config.trace_config() so an env
+    # toggle mid-process (radix A/B) retraces instead of reusing the
+    # first-traced walker.
+    @property
     def _fwd_jit(self):
-        n = self.n
-        table = self.fwd_table
-        if self.precision == "double_float":
-            scal = self._inv_scale_df
-            return jax.jit(lambda x: self.df_fwd_body(x, scal))
-        scal = self.inv_scale
-        return jax.jit(lambda x: _stage_loop_fwd(x, table, n, scal))
+        key = ("fwd", config.trace_config())
+        fn = self._jit_memo.get(key)
+        if fn is None:
+            n = self.n
+            table = self.fwd_table
+            if self.precision == "double_float":
+                scal = self._inv_scale_df
+                fn = jax.jit(lambda x: self.df_fwd_body(x, scal))
+            else:
+                scal = self.inv_scale
+                fn = jax.jit(lambda x: _stage_loop_fwd(x, table, n, scal))
+            self._jit_memo[key] = fn
+        return fn
 
-    @functools.cached_property
+    @property
     def _inv_jit(self):
-        n = self.n
-        table = self.inv_table
-        if self.precision == "double_float":
-            scal = self._scale_df
-            return jax.jit(lambda x: self.df_inv_body(x, scal))
-        scal = self.scale
-        return jax.jit(lambda x: _stage_loop_inv(x, table, n, scal))
+        key = ("inv", config.trace_config())
+        fn = self._jit_memo.get(key)
+        if fn is None:
+            n = self.n
+            table = self.inv_table
+            if self.precision == "double_float":
+                scal = self._scale_df
+                fn = jax.jit(lambda x: self.df_inv_body(x, scal))
+            else:
+                scal = self.scale
+                fn = jax.jit(lambda x: _stage_loop_inv(x, table, n, scal))
+            self._jit_memo[key] = fn
+        return fn
 
     def forward(self, x):
         """Forward transform to bit-reversed order; x shape (..., n)."""

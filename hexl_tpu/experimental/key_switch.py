@@ -55,7 +55,9 @@ def _barrett_reduce_128(t: U128, modulus: int) -> U64:
 def _jitted_key_switch(n: int, decomp_modulus_size: int,
                        key_modulus_size: int, rns_modulus_size: int,
                        key_component_count: int, moduli: tuple,
-                       modswitch_factors: tuple):
+                       modswitch_factors: tuple, _cfg=None):
+    # _cfg = config.trace_config(): the body reads the radix/approx
+    # switches at trace time, so env toggles must retrace.
     plans = {q: get_plan(n, q) for q in set(moduli)}
     ds = decomp_modulus_size
     # Stacked multi-modulus transforms over the decomposition basis: every
@@ -67,9 +69,7 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
     if ds > 1 and len(set(moduli[:ds])) == ds:
         rns_plan = get_rns_plan(n, moduli[:ds])
 
-    def stack_u64(parts):
-        return U64(jnp.stack([p.hi for p in parts]),
-                   jnp.stack([p.lo for p in parts]))
+    from ..ntt.rns import _stack_u64 as stack_u64
 
     def fn(result: U64, t_target: U64, keys: U64):
         # result:   (key_component_count, decomp_modulus_size, n)
@@ -235,8 +235,9 @@ def key_switch(result, t_target, n: int, decomp_modulus_size: int,
     t, t_host = coerce_limbs(t_target)
     k, _ = coerce_limbs(key_switch_keys)
     host = r_host or t_host
+    from .. import config as _config
     fn = _jitted_key_switch(n, decomp_modulus_size, key_modulus_size,
                             rns_modulus_size, key_component_count, moduli,
-                            modswitch_factors)
+                            modswitch_factors, _config.trace_config())
     out = fn(r, t, k)
     return from_limbs(out) if host else out

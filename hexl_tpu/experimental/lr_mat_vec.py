@@ -19,7 +19,9 @@ from ..limb import U64, from_limbs, to_limbs
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted(moduli: tuple, num_weights: int):
+def _jitted(moduli: tuple, num_weights: int, _cfg=None):
+    # _cfg = config.trace_config(): the eltwise bodies read the
+    # approx-mulhi switch at trace time, so env toggles must retrace.
     def fn(cipher1: U64, cipher2: U64):
         # cipher1/2: (num_weights, 2, M, n) NTT-form ciphertext pairs.
         # Dyadic product per weight -> (num_weights, 3, M, n).
@@ -74,5 +76,6 @@ def lr_mat_vec_mult(cipher1, cipher2, moduli):
     c1, c1_host = coerce_limbs(cipher1)
     c2, c2_host = coerce_limbs(cipher2)
     num_weights = c1.lo.shape[0]
-    out = _jitted(moduli, num_weights)(c1, c2)
+    from .. import config as _config
+    out = _jitted(moduli, num_weights, _config.trace_config())(c1, c2)
     return from_limbs(out) if (c1_host or c2_host) else out

@@ -37,7 +37,10 @@ def _use_32bit(plan) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool):
+def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool,
+                         _cfg=None):
+    # _cfg = config.trace_config(): the staged bodies read the radix and
+    # approx-mulhi switches at trace time, so env toggles must retrace.
     if _use_32bit(plan):
         from . import ntt32
         import jax.numpy as jnp
@@ -51,7 +54,8 @@ def _jitted_fwd_for_plan(plan, imf: int, omf: int, use_pallas: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_inv_for_plan(plan, imf: int, omf: int, use_pallas: bool):
+def _jitted_inv_for_plan(plan, imf: int, omf: int, use_pallas: bool,
+                         _cfg=None):
     if _use_32bit(plan):
         from . import ntt32
         import jax.numpy as jnp
@@ -96,7 +100,7 @@ class NTT:
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
         use_pallas = config.use_pallas() and self.plan.rows is not None
         fn = (_jitted_fwd_for_plan if fwd else _jitted_inv_for_plan)(
-            self.plan, imf, omf, use_pallas)
+            self.plan, imf, omf, use_pallas, config.trace_config())
         out = fn(x_l)
         return from_limbs(out) if host else out
 

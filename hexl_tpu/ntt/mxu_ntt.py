@@ -110,15 +110,15 @@ def _mulmod_scalar(a: np.ndarray, c: int, q: int) -> np.ndarray:
         lo = p & np.uint64((1 << 11) - 1)
         hi = p >> np.uint64(11)
         ck_hi = np.uint64((ck << 11) % q)
-        # lo, hi < 2^11; ck, ck_hi < 2^62 -> products < 2^73? No: 2^11 *
-        # 2^62 = 2^73 overflows uint64. Reduce ck below 2^53 first is not
-        # possible; instead accumulate in object space only when q is
-        # large. For q < 2^53 the direct product fits; otherwise fall
-        # back to Python ints for this (rare, precompute-only) path.
-        if q < (1 << 53):
+        # lo, hi < 2^11 and ck, ck_hi < q, so the two-product sum is
+        # < 2^12 * q — that fits uint64 only for q < 2^52 (q in
+        # (2^52, 2^53) overflowed here and corrupted every table for
+        # 53-bit moduli). Otherwise fall back to Python ints for this
+        # (rare, precompute-only) path.
+        if q < (1 << 52):
             return (lo * np.uint64(ck) + hi * ck_hi) % np.uint64(q)
         return np.array([(int(x) * ck) % q for x in p], dtype=np.uint64)
-    if q < (1 << 53):
+    if q < (1 << 52):
         r = (piece_mul(a0, c0) + piece_mul(a1, c1) + piece_mul(a2, c2))
         return r % np.uint64(q)
     # Large-q correctness path (precompute only, vectorized object math).
@@ -394,25 +394,8 @@ def _fold_planes(planes2d, dw: int, out_shape):
     L = sum_{s<dw-1} D_s 2^{7s} < 2^{7(dw-1)} (<= 2^56 for dw <= 9);
     R = unnormalized top plane, < 2^28.
     """
-    n_out = out_shape[0]
     planes = planes2d.astype(_U32).reshape((dw,) + tuple(out_shape))
-    lo = jnp.zeros_like(planes[0])
-    hi = jnp.zeros_like(lo)
-    carry = jnp.zeros_like(lo)
-    for s in range(dw - 1):
-        v = planes[s] + carry
-        d = v & np.uint32(DIGIT_MASK)
-        carry = v >> DIGIT_BITS
-        bit = DIGIT_BITS * s
-        if bit + DIGIT_BITS <= 32:
-            lo = lo | (d << bit)
-        elif bit >= 32:
-            hi = hi | (d << (bit - 32))
-        else:
-            lo = lo | (d << bit)
-            hi = hi | (d >> (32 - bit))
-    r_top = planes[dw - 1] + carry
-    return U64(hi, lo), r_top
+    return _carry_norm_rows(list(planes), dw)
 
 
 def _shoup_tab(x: U64, tab: Tuple[U64, U64], q: U64) -> U64:
@@ -481,7 +464,9 @@ def _plane_slices(block, dw: int, n_out: int):
 
 
 def _carry_norm_rows(planes, dw: int):
-    """Carry-normalize a list of (n_out, cols) uint32 planes."""
+    """Carry-normalize dw uint32 digit planes (any common shape) into
+    (U64 low part L, unnormalized top plane R) — the shared loop behind
+    both the XLA `_fold_planes` path and the Pallas fused kernels."""
     lo = jnp.zeros_like(planes[0])
     hi = jnp.zeros_like(lo)
     carry = jnp.zeros_like(lo)
@@ -616,8 +601,16 @@ def _final_pallas(planes2d, plan, n_out: int, batch: int,
 
 
 def _use_fused_recombine() -> bool:
+    """Fuse the digit-plane fold + twiddle/Barrett into a Pallas kernel.
+
+    Gated on its own terms (TPU backend + the Pallas kill switch), NOT on
+    config.use_pallas(): that would tie the MXU regime's recombination to
+    the NTT-backend selection, making the fusion unreachable under the
+    default HEXL_TPU_NTT_BACKEND=xla and impossible to combine with the
+    (faster) XLA staged bodies for the main dispatch."""
     from .. import config as _config
-    return _config.use_pallas()
+    return (not _config.pallas_disabled()
+            and _config.default_backend() == "tpu")
 
 
 def _boundary_fused(x: U64, dx, w2d, groups, plan, n_in, n_out,

@@ -183,15 +183,16 @@ def _tile_b_tables(stages, kb: int):
                     U64(rep(wp.hi), rep(wp.lo))))
     return out
 
-def _packed_stage_kernel(plan, s_stages, kb: int, phase: str, omf: int,
-                         forward: bool):
-    """Build a pallas kernel running one packed phase on 2D blocks.
+def _packed_stage_kernel(plan, s_stages, kb: int, omf: int, forward: bool):
+    """Build a pallas kernel running the packed lane-stride phase (phase
+    B) on (128, kb*rows) blocks: splits on the 128 axis with tiled
+    per-poly tables.
 
-    phase 'a': block (rows, kb*128), splits on the row axis;
-    phase 'b': block (128, kb*rows), splits on the 128 axis with tiled
-               per-poly tables.
-    The cross-layout transposes between phases run in XLA (cheap at these
-    sizes; Mosaic cannot lower a lane<->sublane 3D permutation here).
+    Only phase B is kernelized: Mosaic compiles a packed row-stride
+    (phase A) body in ~6 minutes, so phase A runs as the staged XLA body
+    (_xla_phase_a). The cross-layout transposes between phases also run
+    in XLA (cheap at these sizes; Mosaic cannot lower a lane<->sublane
+    3D permutation here).
     """
     fwd_bfly, inv_bfly = _butterflies()
     bfly = fwd_bfly if forward else inv_bfly
@@ -202,34 +203,15 @@ def _packed_stage_kernel(plan, s_stages, kb: int, phase: str, omf: int,
         q = const64(q_i)
         two_q = const64(2 * q_i)
         x = U64(refs[0][0], refs[1][0])   # drop the leading grid axis
-        if phase == "a":
-            for m, t, w, wp in s:
-                xs, ys, join = _split2(x, 0, m, t // LANES)
-                wb = U64(w.hi[:, :, None], w.lo[:, :, None])
-                wpb = U64(wp.hi[:, :, None], wp.lo[:, :, None])
-                nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
-                x = join(nx, ny)
-            if not forward:
-                # Final inverse stage (fused x N^{-1}) pairs row halves.
-                half = plan.rows // 2
-                xs = U64(x.hi[:half], x.lo[:half])
-                ys = U64(x.hi[half:], x.lo[half:])
-                nx, ny = _final_inv_stage(xs, ys, plan, q, two_q)
-                hi = jnp.concatenate([nx.hi, ny.hi], axis=0)
-                lo = jnp.concatenate([nx.lo, ny.lo], axis=0)
-                x = U64(hi, lo)
-                if omf == 1:
-                    x = cond_sub64(x, q)
-        else:
-            for m, t, w, wp in s:
-                nb = LANES // (2 * t)
-                xs, ys, join = _split2(x, 0, nb, t)
-                wb = U64(w.hi[:, None, :], w.lo[:, None, :])
-                wpb = U64(wp.hi[:, None, :], wp.lo[:, None, :])
-                nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
-                x = join(nx, ny)
-            if forward and omf == 1:
-                x = reduce_mod_lazy64(x, q_i, 4)
+        for m, t, w, wp in s:
+            nb = LANES // (2 * t)
+            xs, ys, join = _split2(x, 0, nb, t)
+            wb = U64(w.hi[:, None, :], w.lo[:, None, :])
+            wpb = U64(wp.hi[:, None, :], wp.lo[:, None, :])
+            nx, ny = bfly(xs, ys, wb, wpb, q, two_q)
+            x = join(nx, ny)
+        if forward and omf == 1:
+            x = reduce_mod_lazy64(x, q_i, 4)
         refs[i][...] = x.hi[None]
         refs[i + 1][...] = x.lo[None]
 
@@ -320,7 +302,7 @@ def _run_packed(x: U64, plan: NttPlan, omf: int, forward: bool,
         s_b, s_a = _tile_b_tables(plan.inv_b, kb), plan.inv_a
 
     pb = _stage_planes(s_b)
-    kb_k = _packed_stage_kernel(plan, s_b, kb, "b", omf, forward)
+    kb_k = _packed_stage_kernel(plan, s_b, kb, omf, forward)
 
     v = U64(to_a(x.hi), to_a(x.lo))
     if forward:

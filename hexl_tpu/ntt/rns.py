@@ -19,6 +19,7 @@ heterogeneous stack.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +176,7 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
 # ---------------------------------------------------------------------------
 
 _RNS_PLAN_CACHE: dict = {}
+_RNS_LOCK = threading.Lock()
 
 
 def _clear_rns_caches() -> None:
@@ -194,13 +196,22 @@ def get_rns_plan(degree: int, moduli, device=None) -> RnsNttPlan:
            None if device is None else str(device))
     rp = _RNS_PLAN_CACHE.get(key)
     if rp is None:
-        rp = RnsNttPlan(degree, key[1], device)
-        _RNS_PLAN_CACHE[key] = rp
+        # Locked double-check like plan.get_plan: concurrent misses would
+        # each stack full device twiddle tables (the family is documented
+        # thread-safe, docs/API.md).
+        with _RNS_LOCK:
+            rp = _RNS_PLAN_CACHE.get(key)
+            if rp is None:
+                rp = RnsNttPlan(degree, key[1], device)
+                _RNS_PLAN_CACHE[key] = rp
     return rp
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_rns(rplan: RnsNttPlan, fwd: bool, imf: int, omf: int):
+def _jitted_rns(rplan: RnsNttPlan, fwd: bool, imf: int, omf: int,
+                _cfg=None):
+    # _cfg = config.trace_config(): the stacked bodies read the radix and
+    # approx-mulhi switches at trace time, so env toggles must retrace.
     fn = fwd_ntt_rns if fwd else inv_ntt_rns
     return jax.jit(lambda x: fn(x, rplan, imf, omf))
 
@@ -236,7 +247,9 @@ class RnsNTT:
                     U64(xl.hi[i], xl.lo[i]), imf * q,
                     f"{'forward' if fwd else 'inverse'} RNS NTT input "
                     f"(prime {i})")
-        out = _jitted_rns(self.plan, fwd, imf, omf)(xl)
+        from .. import config as _config
+        out = _jitted_rns(self.plan, fwd, imf, omf,
+                          _config.trace_config())(xl)
         return from_limbs(out) if host else out
 
     def forward(self, x, input_mod_factor: int = 1,

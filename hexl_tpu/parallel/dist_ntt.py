@@ -35,6 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from .. import config
 from .. import nt
 from ..limb import (U64, add64, coerce_limbs, cond_sub64, const64,
                     reduce_mod_lazy64, sub64, to_limbs, from_limbs)
@@ -503,7 +504,7 @@ class DistNTT:
         a_l, a_host = coerce_limbs(a)
         b_l, b_host = coerce_limbs(b)
         host = a_host or b_host
-        key = ("poly", a_l.lo.ndim)
+        key = ("poly", a_l.lo.ndim, config.trace_config())
         if key not in self._fwd_cache:
             self._fwd_cache[key] = self._build_poly_mult(a_l.lo.ndim)
         hi, lo = self._fwd_cache[key](a_l.hi, a_l.lo, b_l.hi, b_l.lo)
@@ -515,7 +516,8 @@ class DistNTT:
         """Sharded forward NTT; x shape (batch..., N) (host numpy or U64)."""
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
-        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim,
+               config.trace_config())
         if key not in self._fwd_cache:
             self._fwd_cache[key] = self._build_fwd(
                 input_mod_factor, output_mod_factor, x_l.lo.ndim)
@@ -527,7 +529,8 @@ class DistNTT:
                 output_mod_factor: int = 1):
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
-        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim)
+        key = (input_mod_factor, output_mod_factor, x_l.lo.ndim,
+               config.trace_config())
         if key not in self._inv_cache:
             self._inv_cache[key] = self._build_inv(
                 input_mod_factor, output_mod_factor, x_l.lo.ndim)

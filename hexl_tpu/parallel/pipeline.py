@@ -38,6 +38,7 @@ import numpy as np
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+from .. import config
 from ..limb import (U64, coerce_limbs, cond_sub64, const64, from_limbs,
                     reduce_mod_lazy64)
 from ..ntt.jnp_ntt import _bflys, _final_inv_stage, _split2
@@ -207,7 +208,7 @@ class PipelineNTT:
         if xl.lo.ndim < 2 or xl.lo.shape[-1] != self.n:
             raise ValueError(
                 "pipeline input must be (microbatch, ..., N)")
-        key = (forward, omf, xl.lo.shape)
+        key = (forward, omf, xl.lo.shape, config.trace_config())
         if key not in self._cache:
             self._cache[key] = self._build(forward, omf, xl.lo.shape)
         hi, lo = self._cache[key](xl.hi, xl.lo)

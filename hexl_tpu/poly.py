@@ -98,7 +98,9 @@ def _poly_mult_xla(a: U64, b: U64, plan) -> U64:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_poly_mult(n: int, q: int, use_pallas: bool):
+def _jitted_poly_mult(n: int, q: int, use_pallas: bool, _cfg=None):
+    # _cfg = config.trace_config(): the bodies read the radix/approx
+    # switches at trace time, so env toggles must retrace.
     plan = get_plan(n, q)
     # The fused triple-transform kernel holds ~3 transforms of unrolled
     # temporaries; it hits Mosaic's scoped-vmem ceiling one notch below
@@ -119,13 +121,14 @@ def poly_mult_mod(a, b, degree: int, modulus: int):
     """
     a_l, a_host = coerce_limbs(a)
     b_l, b_host = coerce_limbs(b)
-    fn = _jitted_poly_mult(degree, modulus, config.use_pallas())
+    fn = _jitted_poly_mult(degree, modulus, config.use_pallas(),
+                           config.trace_config())
     out = fn(a_l, b_l)
     return from_limbs(out) if (a_host or b_host) else out
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_rns_poly_mult(n: int, moduli: tuple):
+def _jitted_rns_poly_mult(n: int, moduli: tuple, _cfg=None):
     """Stacked RNS pipeline: the 2k forward + k inverse transforms run as
     two stacked multi-modulus calls (ntt/rns.py); only the pointwise
     Barrett multiply stays a per-modulus trace-time loop (its quotient
@@ -156,7 +159,8 @@ def rns_poly_mult_mod(a, b, degree: int, moduli):
     host = a_host or b_host
     if (len(set(moduli)) == len(moduli) and len(moduli) > 1
             and not config.use_pallas()):
-        out = _jitted_rns_poly_mult(degree, tuple(moduli))(a_l, b_l)
+        out = _jitted_rns_poly_mult(degree, tuple(moduli),
+                                    config.trace_config())(a_l, b_l)
         return from_limbs(out) if host else out
     outs = []
     for i, q in enumerate(moduli):

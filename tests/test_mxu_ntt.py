@@ -37,12 +37,27 @@ CASES = [
     (256, 29),
     (1024, 29),
     (1024, 49),
+    (1024, 52),   # regression: q in (2^52, 2^53) overflowed _mulmod_scalar
     (1024, 60),
     (4096, 49),
     (4096, 62),
     (16384, 49),
     (16384, 60),
 ]
+
+
+def test_mulmod_scalar_53bit_regression():
+    """q in (2^52, 2^53) used to take the uint64 fast path whose
+    two-product sum (< 2^12 * q) wraps mod 2^64, silently corrupting
+    every weight/twiddle table built for 53-bit moduli."""
+    q = nt.generate_primes(1, 52, True, 1024)[0]
+    assert (1 << 52) < q < (1 << 53)
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 1 << 63, size=1000, dtype=np.uint64)
+    for c in (q - 2, q - 1, (q >> 1) + 1):
+        got = mxu_ntt._mulmod_scalar(a, c, q)
+        want = ((a.astype(object) * (int(c) % q)) % q).astype(np.uint64)
+        np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("n,bits", CASES)
@@ -115,7 +130,7 @@ def test_pallas_fused_recombine_interpret(monkeypatch):
     x = rng.integers(0, q, size=(4, n), dtype=np.uint64)
     plain_f = from_limbs(mxu_ntt.fwd_ntt_mxu(to_limbs(x), plan, 1, 1))
     plain_i = from_limbs(mxu_ntt.inv_ntt_mxu(to_limbs(x), plan, 1, 1))
-    monkeypatch.setattr(config, "use_pallas", lambda: True)
+    monkeypatch.setattr(mxu_ntt, "_use_fused_recombine", lambda: True)
     fused_f = from_limbs(mxu_ntt.fwd_ntt_mxu(to_limbs(x), plan, 1, 1))
     fused_i = from_limbs(mxu_ntt.inv_ntt_mxu(to_limbs(x), plan, 1, 1))
     np.testing.assert_array_equal(fused_f, plain_f)

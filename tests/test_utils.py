@@ -139,3 +139,48 @@ def test_montgomery_bounds(debug_mode):
     with pytest.raises(ValueError):
         eltwise_montgomery_form_in(good, 96)  # even modulus
     eltwise_montgomery_form_in(good, q)
+
+
+def test_env_switch_validation(monkeypatch):
+    """Invalid dispatch env values raise instead of silently running the
+    default (a silent coercion lets an A/B measure the default twice)."""
+    monkeypatch.setenv("HEXL_TPU_NTT_BACKEND", "palas")
+    with pytest.raises(ValueError):
+        config.ntt_backend()
+    monkeypatch.setenv("HEXL_TPU_NTT_BACKEND", "pallas")
+    assert config.ntt_backend() == "pallas"
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "16")
+    with pytest.raises(ValueError):
+        config.ntt_radix()
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "8")
+    assert config.ntt_radix() == 8
+    monkeypatch.setenv("HEXL_TPU_FFT_RADIX", "radix4")
+    with pytest.raises(ValueError):
+        config.fft_radix()
+    monkeypatch.setenv("HEXL_TPU_FFT_RADIX", "4")
+    assert config.fft_radix() == 4
+    monkeypatch.setenv("HEXL_TPU_DIST_OVERLAP", "two")
+    with pytest.raises(ValueError):
+        config.dist_overlap_slices()
+
+
+def test_trace_config_keys_jit_caches(monkeypatch):
+    """Toggling a dispatch env mid-process must change trace_config() —
+    every jit cache includes it in its key, so the toggle retraces
+    instead of silently reusing the first-traced configuration."""
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "2")
+    cfg2 = config.trace_config()
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "4")
+    cfg4 = config.trace_config()
+    assert cfg2 != cfg4
+
+    # And the dispatch stays correct across a mid-process radix toggle.
+    n, q = 1 << 13, nt.generate_primes(1, 45, True, 1 << 13)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "2")
+    y2 = np.asarray(ntt.forward(x))
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "4")
+    y4 = np.asarray(ntt.forward(x))
+    np.testing.assert_array_equal(y2, y4)
