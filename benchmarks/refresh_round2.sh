@@ -26,8 +26,11 @@ run 1200 env HEXL_TPU_FFT_RADIX=4 python benchmarks/fft_radix_ab.py
 run 1200 python benchmarks/eltwise_approx_ab.py
 run 1200 env HEXL_TPU_DISABLE_APPROX=1 python benchmarks/eltwise_approx_ab.py
 
-# 3. Headline config sweep, then the headline itself.
+# 3. Headline config sweep, then the headline itself — and the
+#    xla-vs-pallas NTT backend A/B (CLAUDE.md: re-A/B per toolchain
+#    update; 'xla' is the measured round-2 default).
 run 1800 python benchmarks/headline_sweep.py
 run 580 python bench.py
+run 1200 env HEXL_TPU_NTT_BACKEND=pallas python bench.py
 
 echo "refresh complete; results in $log"
