@@ -88,3 +88,31 @@ def test_rns_debug_bounds(monkeypatch):
     bad = np.stack([np.full(n, q, dtype=np.uint64) for q in moduli])
     with pytest.raises(ValueError):
         rns.forward(bad)  # == q is out of range for IMF=1
+
+
+def test_rns_plan_cache_concurrent_single_instance():
+    """Concurrent first-touch of the same (degree, moduli) must yield one
+    shared RnsNttPlan (the cache is documented thread-safe; an unlocked
+    check-then-set would build duplicate device twiddle stacks)."""
+    import threading
+
+    from hexl_tpu.ntt import clear_plan_cache
+    from hexl_tpu.ntt.rns import get_rns_plan
+
+    n = 1 << 8
+    moduli = tuple(nt.generate_primes(3, 30, True, n))
+    clear_plan_cache()
+    got = []
+    barrier = threading.Barrier(8)
+
+    def grab():
+        barrier.wait()
+        got.append(get_rns_plan(n, moduli))
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 8
+    assert all(p is got[0] for p in got)
