@@ -157,6 +157,38 @@ def example_dyadic_multiply():
     print("Done running ExampleDyadicMultiply")
 
 
+def example_key_switch():
+    """CKKS key switch at a small config (reference: example has no
+    key-switch program; this demos the deepest composite pipeline —
+    stacked inverse/forward NTT groups, 128-bit lazy accumulation,
+    mod-down with the +qk/2 trick)."""
+    from hexl_tpu.experimental import key_switch
+
+    n, ds, kc = 1 << 10, 2, 2
+    kms = rns = ds + 1
+    moduli = nt.generate_primes(kms, 40, True, ntt_size=n)
+    qk = moduli[-1]
+    rng = np.random.default_rng(5)
+    t_target = np.stack([rng.integers(0, q, n, np.uint64)
+                         for q in moduli[:ds]])
+    keys = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                        dtype=np.uint64)
+    for j in range(ds):
+        for k in range(kc):
+            for m_i, q in enumerate(moduli):
+                keys[j, k, m_i] %= np.uint64(q)
+    msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+    result = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                 for q in moduli[:ds]])
+                       for _ in range(kc)])
+    out = np.asarray(key_switch(result, t_target, n, ds, kms, rns, kc,
+                                moduli, keys, msf))
+    for k in range(kc):
+        for j in range(ds):
+            assert out[k, j].max() < moduli[j], "output not reduced"
+    print(f"Done running ExampleKeySwitch (n={n}, ds={ds}, kc={kc})")
+
+
 def example_large_degree():
     """Hierarchical two-kernel path for degrees above the VMEM ceiling."""
     n = 1 << 15
@@ -183,5 +215,6 @@ if __name__ == "__main__":
     example_rns_ntt()
     example_fft_like()
     example_dyadic_multiply()
+    example_key_switch()
     example_large_degree()
     print("All examples passed.")
