@@ -384,3 +384,14 @@ def _run_key_switch_case(n, ds, kc, bits=49, seed=21):
 ])
 def test_key_switch_production_scale(n, ds, kc):
     _run_key_switch_case(n, ds, kc)
+
+
+def test_key_switch_approx_flush_forced(monkeypatch):
+    """Force the TPU approx-quotient dispatch (K._approx) through the
+    whole key-switch pipeline on CPU — the 128-bit Barrett flush and the
+    +qk/2 mod-down use approx bodies there; outputs are fully reduced so
+    they must stay bit-identical to the exact big-int oracle."""
+    from hexl_tpu.eltwise import jnp_kernels as K
+
+    monkeypatch.setattr(K, "_approx", lambda: True)
+    _run_key_switch_case(1 << 10, 2, 2, bits=49, seed=77)

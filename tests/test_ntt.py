@@ -389,3 +389,31 @@ def test_pallas_chunked_writeback_body(monkeypatch):
     np.testing.assert_array_equal(back, x)
     b2 = _fl(_pn.inv_ntt(_tl(got % q), plan, 2, 2))
     np.testing.assert_array_equal(b2 % q, x)
+
+
+def test_approx_butterflies_forced_on_cpu(monkeypatch):
+    """The TPU backend traces approximate-mulhi Shoup butterflies
+    (config.approx_butterflies). Force that dispatch on CPU: fully
+    reduced outputs (OMF=1) must stay bit-identical to the exact oracle,
+    and OMF=4 lazy outputs must agree mod q within the declared range —
+    the reference's own AVX512 testing model. trace_config() keying makes
+    the mid-process toggle retrace rather than reuse the exact trace."""
+    from hexl_tpu import config as _cfg
+    from hexl_tpu import ref
+
+    n, q_bits = 4096, 60
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(97)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    exp1 = ref.fwd_ntt_radix2(x, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+    exp4 = ref.fwd_ntt_radix2(x, q, ntt.plan.rop, ntt.plan.prop, 1, 4)
+
+    monkeypatch.setattr(_cfg, "approx_butterflies", lambda: True)
+    got1 = np.asarray(ntt.forward(x, 1, 1))
+    np.testing.assert_array_equal(got1, exp1)
+    got4 = np.asarray(ntt.forward(x, 1, 4))
+    assert got4.max() < 4 * q
+    np.testing.assert_array_equal(got4 % q, exp4 % q)
+    back = np.asarray(ntt.inverse(got1, 1, 1))
+    np.testing.assert_array_equal(back, x)
