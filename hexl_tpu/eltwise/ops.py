@@ -301,3 +301,10 @@ def eltwise_montgomery_mult_reduce(a, b, modulus: int):
     a_l, host = _coerce(a)
     b_l, _ = _coerce(b)
     return _result(_jitted("mont_mult_reduce", modulus)(a_l, b_l), host)
+
+
+# Flushed with the plan cache (same contract as ntt/__init__; the eltwise
+# graphs hold no plans, but a full clear should leave no stale traces).
+from ..ntt.plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_jitted_impl.cache_clear)

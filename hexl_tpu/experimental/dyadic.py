@@ -61,3 +61,10 @@ def dyadic_multiply(operand1, operand2, moduli):
     from .. import config as _config
     out = _jitted(moduli, _config.trace_config())(x, y)
     return from_limbs(out) if (x_host or y_host) else out
+
+
+# Flushed with the plan cache (clear/rebuild cycles must not leak jitted
+# graphs; same contract as ntt/__init__).
+from ..ntt.plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_jitted.cache_clear)

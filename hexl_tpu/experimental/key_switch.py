@@ -241,3 +241,11 @@ def key_switch(result, t_target, n: int, decomp_modulus_size: int,
                             modswitch_factors, _config.trace_config())
     out = fn(r, t, k)
     return from_limbs(out) if host else out
+
+
+# The jitted key-switch graphs hold NttPlan/RnsNttPlan references; flush
+# them together with the plan cache so clear/rebuild cycles don't leak
+# compiled functions + twiddle tables (same contract as ntt/__init__).
+from ..ntt.plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_jitted_key_switch.cache_clear)

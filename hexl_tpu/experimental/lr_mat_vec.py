@@ -79,3 +79,9 @@ def lr_mat_vec_mult(cipher1, cipher2, moduli):
     from .. import config as _config
     out = _jitted(moduli, num_weights, _config.trace_config())(c1, c2)
     return from_limbs(out) if (c1_host or c2_host) else out
+
+
+# Flushed with the plan cache (same contract as ntt/__init__).
+from ..ntt.plan import register_clear_hook as _register_clear_hook  # noqa: E402
+
+_register_clear_hook(_jitted.cache_clear)

@@ -184,6 +184,8 @@ def _clear_rns_caches() -> None:
     jitted transforms die with the underlying per-(N, q) plans."""
     _RNS_PLAN_CACHE.clear()
     _jitted_rns.cache_clear()
+    from .mxu_ntt import clear_mxu_cache
+    clear_mxu_cache()
 
 
 from .plan import register_clear_hook as _register_clear_hook  # noqa: E402
