@@ -20,7 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _backend_answers(timeout_s: int = 240) -> bool:
+    """Probe the attached backend in a child process before importing jax
+    here: a half-up TPU tunnel hangs (or silently kills) the process at
+    the first dispatch, unrecoverably — fail fast with a clear error
+    instead of eating the caller's whole timeout budget."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "assert int(jnp.arange(8, dtype=jnp.uint32).sum()) == 28")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_answers():
+        print("bench.py: attached backend did not answer a dispatch "
+              "within the probe window (TPU tunnel down?) — no "
+              "measurement taken", file=sys.stderr)
+        sys.exit(1)
     import jax
 
     from hexl_tpu import nt
