@@ -67,27 +67,36 @@ def main():
         return impl.inv_ntt(impl.fwd_ntt(v, plan, 1, 1), plan, 1, 1)
 
     # Chain CHAIN pairs inside one dispatch (lax.scan) so device throughput
-    # is measured rather than host->device dispatch latency: the attached
-    # TPU tunnel costs ~1.5 ms per dispatch, which at batch=128 would be
-    # ~30% of the measurement. Each scan step's output feeds the next
-    # step's input (inv output range [0,q) is a valid fwd input), so steps
-    # are truly serialized on device.
-    chain = 32
+    # is measured rather than host->device dispatch latency: on the
+    # attached TPU tunnel a dispatch costs ~1.5-9 ms (and block_until_ready
+    # under-blocks; a D2H fetch of one output element is the only reliable
+    # completion barrier — measured round 3). chain=128 keeps the
+    # per-dispatch overhead under ~2% of each timed call. Each scan step's
+    # output feeds the next step's input (inv output range [0,q) is a
+    # valid fwd input), so steps are truly serialized on device.
+    chain = 256
     chained = _jax.jit(lambda v: _jax.lax.scan(
         lambda c, _: (pair(c), None), v, None, length=chain)[0])
 
     rng = np.random.default_rng(0)
     x = to_limbs(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
-    # Warm up / compile.
+    # Warm up / compile (fetch forces true completion on this tunnel).
     out = chained(x)
     jax.block_until_ready(out)
+    np.asarray(out.hi[0, 0])
 
+    # The per-call fixed cost on this tunnel is ~55 ms (dispatch + sync +
+    # fetch; block_until_ready alone under-blocks, so the final fetch is
+    # the completion barrier). The iters calls are independent and run
+    # back-to-back on the single core, so timing all of them against one
+    # final fetch amortizes that fixed cost to ~2% of the measurement.
     iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
         out = chained(x)
     jax.block_until_ready(out)
+    np.asarray(out.hi[0, 0])
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * chain * iters / dt
 

@@ -96,22 +96,43 @@ def dist_overlap_slices() -> int:
             f"HEXL_TPU_DIST_OVERLAP must be an integer; got {v!r}") from None
 
 
-def ntt_radix() -> int:
-    """Stage walker for the XLA NTT bodies: 2, 4, or 8 (default 4).
+_VALID_RADIX = (2, 4, 8, 16, 32, 64, 128)
 
-    Higher radix fuses 2-3 butterfly stages per materialization (the XLA
-    path is stage-round-trip bound). Measured on v5e, N=2^14/60-bit pair:
-    radix-2 13.3 us, radix-4 11.9 us (-11%), radix-8 13.0 us (the 8-way
-    concat costs more than the saved round trip) — radix-4 is the
-    default; N < 2^13 always walks radix-2 (fusion is neutral there).
+
+def ntt_radix() -> tuple:
+    """Per-phase stage-walker radix for the XLA NTT bodies.
+
+    Returns (phase_a_radix, phase_b_radix); the generic walker fuses
+    log2(radix) butterfly stages per HBM materialization (the XLA path
+    is stage-round-trip bound, so this divides phase traffic by the
+    fusion factor). HEXL_TPU_NTT_RADIX accepts one power of two in
+    [2, 128] for both phases or an "A,B" pair (e.g. "16,4").
+    Measured on v5e, N=2^14/60-bit pair, lean butterflies, dispatch-
+    overhead-corrected (chain-differential): radix 4 -> 10.8 us, 8 ->
+    10.8, "4,8" -> 10.3-10.5 (consistently best by a hair), 16/32 ->
+    11.2-12.2 (register pressure in the 16/32-block fused groups) —
+    "4,8" is the default.
+    N < 2^13 always walks radix-2 (fusion is neutral there).
     The reference ships radix-4 for the same cache-traffic reason
-    (hexl/ntt/ntt-radix-4.cpp). Override: HEXL_TPU_NTT_RADIX=2|4|8.
+    (hexl/ntt/ntt-radix-4.cpp).
     """
-    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4").strip()
-    if v not in ("2", "4", "8"):
+    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4,8").strip()
+    parts = v.split(",")
+    if len(parts) == 1:
+        parts = [parts[0], parts[0]]
+    if len(parts) != 2:
         raise ValueError(
-            f"HEXL_TPU_NTT_RADIX must be 2, 4 or 8; got {v!r}")
-    return int(v)
+            f"HEXL_TPU_NTT_RADIX must be R or RA,RB; got {v!r}")
+    try:
+        ra, rb = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"HEXL_TPU_NTT_RADIX must be numeric; got {v!r}") from None
+    if ra not in _VALID_RADIX or rb not in _VALID_RADIX:
+        raise ValueError(
+            f"HEXL_TPU_NTT_RADIX values must be powers of two in "
+            f"[2, 128]; got {v!r}")
+    return ra, rb
 
 
 def fft_radix() -> int:

@@ -267,7 +267,7 @@ def _local_call(x: U64, plan: NttPlan, h: HierTables, forward: bool,
 
 def _local_inv_body(x: U64, g, inv_b, inv_a) -> U64:
     from . import pallas_ntt as PN
-    _, inv_bfly = PN._butterflies()
+    _, inv_bfly = PN._butterflies(g.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     q = const64(g.q)
     two_q = const64(2 * g.q)
     x = jnp_ntt._transpose_tiles(x, g.tiles, g.lane_l)
@@ -298,7 +298,7 @@ def fwd_ntt_hier(x: U64, plan: NttPlan, input_mod_factor: int = 1,
         return jnp_ntt.fwd_ntt(x, plan, input_mod_factor,
                                output_mod_factor)
     h = get_hier(plan)
-    bflys = PN._butterflies()
+    bflys = PN._butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     x = _cross_call(x, plan, h, True, output_mod_factor, bflys)
     return _local_call(x, plan, h, True, output_mod_factor)
 
@@ -311,6 +311,6 @@ def inv_ntt_hier(x: U64, plan: NttPlan, input_mod_factor: int = 1,
         return jnp_ntt.inv_ntt(x, plan, input_mod_factor,
                                output_mod_factor)
     h = get_hier(plan)
-    bflys = PN._butterflies()
+    bflys = PN._butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     x = _local_call(x, plan, h, False, output_mod_factor)
     return _cross_call(x, plan, h, False, output_mod_factor, bflys)

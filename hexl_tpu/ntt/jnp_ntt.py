@@ -24,8 +24,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..limb import (U64, add64, cond_sub64, const64, mullo64, mulhi64,
-                    mulhi64_approx, reduce_mod_lazy64, sub64)
+                    mulhi64_approx6, reduce_mod_lazy64, sub64)
 from .plan import LANES, MIN_2D_N, NttPlan
+
+# Largest modulus the lean approximate butterflies are valid for: their
+# raw Shoup product lies in [0, 8q), which must fit in 64 bits.
+LEAN_APPROX_MAX_Q = 1 << 61
 
 
 def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
@@ -35,13 +39,19 @@ def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
 
 
 def _shoup_approx(x: U64, w: U64, wp: U64, q: U64, two_q: U64) -> U64:
-    """Shoup multiply with approximate mulhi (4 fewer lane multiplies);
-    the <=1 quotient error leaves [0,3q), corrected to [0,2q) by one
-    conditional subtract. Agrees with _shoup mod q, not bit-for-bit in
-    the lazy range (the reference's AVX512-64 semantics)."""
-    q_hat = mulhi64_approx(x, wp)
+    """Lean Shoup multiply via the e<=6 approximate mulhi; output [0,2q).
+
+    The quotient may be up to 6 too small, so the raw product lies in
+    [0, 8q) (fits 64 bits for q < LEAN_APPROX_MAX_Q = 2^61) and a 4q then
+    2q conditional-subtract chain restores the lazy range. Agrees with
+    _shoup mod q, not bit-for-bit in the lazy range (the reference's
+    AVX512-64 approx-mulhi semantics, avx512-util.hpp:153-185, traded
+    further toward fewer ops: 10 quotient multiplies vs its analogue's
+    12, measured +19%% butterfly throughput on v5e)."""
+    q_hat = mulhi64_approx6(x, wp)
     r = sub64(mullo64(x, w), mullo64(q_hat, q))
-    return cond_sub64(r, two_q)
+    four_q = add64(two_q, two_q)  # stage-invariant; hoisted by XLA
+    return cond_sub64(cond_sub64(r, four_q), two_q)
 
 
 def _fwd_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
@@ -60,7 +70,8 @@ def _inv_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
 
 def _fwd_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
                           two_q: U64):
-    """Forward butterfly using the approximate Shoup multiply."""
+    """Forward butterfly using the lean approximate Shoup multiply
+    (valid for q < LEAN_APPROX_MAX_Q)."""
     tx = cond_sub64(xs, two_q)
     t = _shoup_approx(ys, w, wp, q, two_q)
     return add64(tx, t), sub64(add64(tx, two_q), t)
@@ -68,18 +79,24 @@ def _fwd_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
 
 def _inv_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
                           two_q: U64):
-    """Inverse butterfly using the approximate Shoup multiply."""
+    """Inverse butterfly using the lean approximate Shoup multiply
+    (valid for q < LEAN_APPROX_MAX_Q)."""
     tx = cond_sub64(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
     return tx, _shoup_approx(ty, w, wp, q, two_q)
 
 
-def _bflys():
-    """Butterfly pair for the XLA bodies: approximate-mulhi Shoup on the
-    TPU backend (reference AVX512-64 semantics, -11%% pair time measured),
-    exact elsewhere (config.approx_butterflies)."""
+def _bflys(lean_ok: bool = False):
+    """Butterfly pair for the XLA bodies.
+
+    lean_ok must be True only when every modulus the body will run is
+    < LEAN_APPROX_MAX_Q (2^61) — the lean approximate butterflies' raw
+    Shoup range [0,8q) must fit 64 bits. With it, the TPU backend uses
+    the e<=6 approx-mulhi butterflies (reference AVX512-64 semantics:
+    mod-q equal, lazy values not bit-identical); everywhere else the
+    exact Harvey forms (the bit-exactness oracle)."""
     from .. import config as _config
-    if _config.approx_butterflies():
+    if lean_ok and _config.approx_butterflies():
         return _fwd_butterfly_approx, _inv_butterfly_approx
     return _fwd_butterfly, _inv_butterfly
 
@@ -165,12 +182,13 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
 
 
 def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
-    return fwd_body_small(x, q, two_q, plan.n, plan.rop_dev, plan.prop_dev)
+    return fwd_body_small(x, q, two_q, plan.n, plan.rop_dev, plan.prop_dev,
+                          lean_ok=plan.q < LEAN_APPROX_MAX_Q)
 
 
 def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
-                   prop_dev: U64) -> U64:
-    fwd_bfly, _ = _bflys()
+                   prop_dev: U64, lean_ok: bool = False) -> U64:
+    fwd_bfly, _ = _bflys(lean_ok)
     m = 1
     while m < n:
         t = n // (2 * m)
@@ -183,46 +201,6 @@ def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
         x = join(nx, ny)
         m *= 2
     return x
-
-
-def _split4(x: U64, axis: int, m: int, quarter: int):
-    """Reshape one axis of size m*4*quarter into (m, 4, quarter) and
-    return the four quarter sub-arrays plus a reassembly closure (the
-    radix-4 analogue of _split2: one concat per TWO butterfly stages,
-    halving the per-stage materializations the radix-2 walker pays)."""
-    def reshape_plane(p):
-        shape = p.shape
-        return p.reshape(shape[:axis] + (m, 4 * quarter) + shape[axis + 1:])
-    hi = reshape_plane(x.hi)
-    lo = reshape_plane(x.lo)
-    qs = []
-    for k in range(4):
-        sl = [slice(None)] * hi.ndim
-        sl[axis + 1] = slice(k * quarter, (k + 1) * quarter)
-        qs.append(U64(hi[tuple(sl)], lo[tuple(sl)]))
-
-    def reassemble(q0, q1, q2, q3):
-        h = jnp.concatenate([q0.hi, q1.hi, q2.hi, q3.hi], axis=axis + 1)
-        l = jnp.concatenate([q0.lo, q1.lo, q2.lo, q3.lo], axis=axis + 1)
-        orig = h.shape[:axis] + (m * 4 * quarter,) + h.shape[axis + 2:]
-        return U64(h.reshape(orig), l.reshape(orig))
-
-    return qs, reassemble
-
-
-def _fwd_radix4_step(qs, w1, wp1, w2a, wp2a, w2b, wp2b, q, two_q, bfly):
-    """Two forward radix-2 levels fused (Harvey radix-4; reference:
-    FwdButterflyRadix4, hexl/ntt/ntt-default.hpp:63-95). Inputs/outputs
-    in [0, 4q); bit-exact equal to applying the two stages sequentially
-    with the same butterfly."""
-    q0, q1, q2, q3 = qs
-    # Level 1 (stride 2*quarter): (q0,q2) and (q1,q3) with w1.
-    a0, c0 = bfly(q0, q2, w1, wp1, q, two_q)
-    b0, d0 = bfly(q1, q3, w1, wp1, q, two_q)
-    # Level 2 (stride quarter): (a,b) with w2 even, (c,d) with w2 odd.
-    a1, b1 = bfly(a0, b0, w2a, wp2a, q, two_q)
-    c1, d1 = bfly(c0, d0, w2b, wp2b, q, two_q)
-    return a1, b1, c1, d1
 
 
 def _splitk(x: U64, axis: int, m: int, k: int, part: int):
@@ -249,131 +227,118 @@ def _splitk(x: U64, axis: int, m: int, k: int, part: int):
     return parts, reassemble
 
 
-def _fwd_radix8_step(es, w1, wp1, w2, wp2, w3, wp3, q, two_q, bfly):
-    """Three forward radix-2 levels fused. w1 broadcast per block;
-    w2 = (even, odd) pair; w3 = 4-tuple of interleaved quarters.
-    Bit-exact equal to the three stages applied sequentially."""
-    e = list(es)
-    # Level 1 (stride 4*part): (e_i, e_{i+4}) share w1.
-    for i in range(4):
-        e[i], e[i + 4] = bfly(e[i], e[i + 4], w1, wp1, q, two_q)
-    # Level 2 (stride 2*part): halves use w2 even/odd.
-    for base, wi, wpi in ((0, w2[0], wp2[0]), (4, w2[1], wp2[1])):
-        for i in (base, base + 1):
-            e[i], e[i + 2] = bfly(e[i], e[i + 2], wi, wpi, q, two_q)
-    # Level 3 (stride part): adjacent pairs use w3 quarters.
-    for j in range(4):
-        i = 2 * j
-        e[i], e[i + 1] = bfly(e[i], e[i + 1], w3[j], wp3[j], q, two_q)
-    return e
-
-
-def _inv_radix8_step(es, w1, wp1, w2, wp2, w3, wp3, q, two_q, bfly):
-    """Three inverse radix-2 levels fused (ascending strides): w1 =
-    4-tuple (innermost stage), w2 = (even, odd), w3 broadcast."""
-    e = list(es)
-    for j in range(4):
-        i = 2 * j
-        e[i], e[i + 1] = bfly(e[i], e[i + 1], w1[j], wp1[j], q, two_q)
-    for base, wi, wpi in ((0, w2[0], wp2[0]), (4, w2[1], wp2[1])):
-        for i in (base, base + 1):
-            e[i], e[i + 2] = bfly(e[i], e[i + 2], wi, wpi, q, two_q)
-    for i in range(4):
-        e[i], e[i + 4] = bfly(e[i], e[i + 4], w3, wp3, q, two_q)
-    return e
-
-
-def _quads_a(w: U64, m: int):
-    """Stage-(4m) phase-A table (4m,) -> 4 interleaved (m,1,1) slices."""
-    hi = w.hi.reshape(m, 4)
-    lo = w.lo.reshape(m, 4)
+def _parts_a(w: U64, m: int, parts: int):
+    """Phase-A stage table (m*parts,) -> `parts` interleaved (m,1,1)
+    slices (part g holds the twiddles the g-th butterfly group of a
+    fused level consumes)."""
+    if parts == 1:
+        return [U64(w.hi[:, None, None], w.lo[:, None, None])]
+    hi = w.hi.reshape(m, parts)
+    lo = w.lo.reshape(m, parts)
     return [U64(hi[:, j][:, None, None], lo[:, j][:, None, None])
-            for j in range(4)]
+            for j in range(parts)]
 
 
-def _quads_b(w: U64, nb: int):
-    """Stage table (tiles, 4nb, L) -> 4 interleaved (tiles, nb, 1, L)."""
-    hi = w.hi.reshape(w.hi.shape[0], nb, 4, w.hi.shape[2])
-    lo = w.lo.reshape(w.lo.shape[0], nb, 4, w.lo.shape[2])
+def _parts_b(w: U64, nb: int, parts: int):
+    """Phase-B stage table (tiles, nb*parts, L) -> `parts` interleaved
+    (tiles, nb, 1, L) slices."""
+    if parts == 1:
+        return [U64(w.hi[:, :, None, :], w.lo[:, :, None, :])]
+    hi = w.hi.reshape(w.hi.shape[0], nb, parts, w.hi.shape[2])
+    lo = w.lo.reshape(w.lo.shape[0], nb, parts, w.lo.shape[2])
     return [U64(hi[:, :, j][:, :, None, :], lo[:, :, j][:, :, None, :])
-            for j in range(4)]
+            for j in range(parts)]
 
 
-def _even_odd_a(w: U64, m: int):
-    """Stage-(2m) phase-A table (2m,) -> even/odd halves as (m,1,1)."""
-    hi = w.hi.reshape(m, 2)
-    lo = w.lo.reshape(m, 2)
-    return (U64(hi[:, 0][:, None, None], lo[:, 0][:, None, None]),
-            U64(hi[:, 1][:, None, None], lo[:, 1][:, None, None]))
+def _fwd_radixk_step(es, wparts, wpparts, q, two_q, bfly):
+    """L = log2(len(es)) forward radix-2 levels fused over a block list
+    (descending strides). wparts[j] holds the 2^j twiddle parts of fused
+    level j. Bit-exact equal to applying the L stages sequentially with
+    the same butterfly (generalizes the reference's FwdButterflyRadix4,
+    hexl/ntt/ntt-default.hpp:63-95, to arbitrary power-of-two radix)."""
+    e = list(es)
+    k = len(e)
+    log_k = k.bit_length() - 1
+    for j in range(log_k):
+        half = k >> (j + 1)
+        for base in range(0, k, 2 * half):
+            g = base >> (log_k - j)
+            for i in range(base, base + half):
+                e[i], e[i + half] = bfly(e[i], e[i + half], wparts[j][g],
+                                         wpparts[j][g], q, two_q)
+    return e
 
 
-def _even_odd_b(w: U64, nb: int):
-    """Stage-(2nb) phase-B table (tiles, 2nb, L) -> even/odd as
-    (tiles, nb, 1, L)."""
-    hi = w.hi.reshape(w.hi.shape[0], nb, 2, w.hi.shape[2])
-    lo = w.lo.reshape(w.lo.shape[0], nb, 2, w.lo.shape[2])
-    return (U64(hi[:, :, 0][:, :, None, :], lo[:, :, 0][:, :, None, :]),
-            U64(hi[:, :, 1][:, :, None, :], lo[:, :, 1][:, :, None, :]))
+def _inv_radixk_step(es, wparts, wpparts, q, two_q, bfly):
+    """Mirror of _fwd_radixk_step: L inverse radix-2 levels fused,
+    ascending strides; wparts[j] holds the 2^(L-1-j)... i.e. k>>(j+1)
+    twiddle parts of fused level j."""
+    e = list(es)
+    k = len(e)
+    for j in range(k.bit_length() - 1):
+        half = 1 << j
+        for base in range(0, k, 2 * half):
+            g = base >> (j + 1)
+            for i in range(base, base + half):
+                e[i], e[i + half] = bfly(e[i], e[i + half], wparts[j][g],
+                                         wpparts[j][g], q, two_q)
+    return e
 
 
 def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     from .. import config as _config
-    radix = _config.ntt_radix() if plan.n >= (1 << 13) else 2
+    radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
     return fwd_body_2d(x, q, two_q, plan.fwd_a, plan.fwd_b, plan.rows,
-                       plan.tiles, plan.lane_l, radix)
+                       plan.tiles, plan.lane_l, radix,
+                       lean_ok=plan.q < LEAN_APPROX_MAX_Q)
+
+
+def _norm_radix(radix):
+    """Accept int (both phases) or (radix_a, radix_b) pair."""
+    if isinstance(radix, int):
+        return radix, radix
+    return radix
 
 
 def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
-                tiles: int, lane_l: int, radix: int) -> U64:
+                tiles: int, lane_l: int, radix,
+                lean_ok: bool = False) -> U64:
     """Table-parameterized 2D forward body: q/two_q and the stage tables
     are operands (traced under vmap for the stacked multi-modulus path,
-    ntt/rns.py), everything else static."""
+    ntt/rns.py), everything else static. `radix` is the per-phase stage
+    fusion factor (int or (phase_a, phase_b) pair of powers of two): the
+    generic walker fuses log2(radix) butterfly stages per HBM
+    materialization — the XLA path is stage-round-trip bound, so this
+    divides phase traffic by the fusion factor."""
+    radix_a, radix_b = _norm_radix(radix)
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
-    fwd_bfly, _ = _bflys()
-    # Phase A: strides >= 128 pair row blocks; the radix-4/8 walkers fuse
-    # 2/3 stages per materialization (the XLA path is stage-round-trip
-    # bound, so this divides phase HBM traffic by the fusion factor).
+    fwd_bfly, _ = _bflys(lean_ok)
+    # Phase A: strides >= 128 pair row blocks.
     stages_a = list(fwd_a)
     i = 0
     while i < len(stages_a):
+        log_k = min(radix_a.bit_length() - 1, len(stages_a) - i)
         m, t, w, wp = stages_a[i]
-        take = 1
-        if radix >= 8 and i + 2 < len(stages_a):
-            take = 3
-        elif radix >= 4 and i + 1 < len(stages_a):
-            take = 2
-        if take == 3:
-            m2, t2, w2, wp2 = stages_a[i + 1]
-            m3, t3, w3, wp3 = stages_a[i + 2]
-            es, join = _splitk(x, row_axis, m, 8, t3 // LANES)
-            outs = _fwd_radix8_step(
-                es, _bcast_w(w, 0, "a"), _bcast_w(wp, 0, "a"),
-                _even_odd_a(w2, m2 // 2), _even_odd_a(wp2, m2 // 2),
-                _quads_a(w3, m3 // 4), _quads_a(wp3, m3 // 4),
-                q, two_q, fwd_bfly)
-            x = join(*outs)
-            i += 3
+        if log_k <= 1:
+            xs, ys, join = _split2(x, row_axis, m, t // LANES)
+            nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "a"),
+                              _bcast_w(wp, 0, "a"), q, two_q)
+            x = join(nx, ny)
+            i += 1
             continue
-        if take == 2:
-            m2, t2, w2, wp2 = stages_a[i + 1]
-            qs, join = _split4(x, row_axis, m, t2 // LANES)
-            w2a, w2b = _even_odd_a(w2, m2 // 2)
-            wp2a, wp2b = _even_odd_a(wp2, m2 // 2)
-            outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "a"),
-                                    _bcast_w(wp, 0, "a"),
-                                    w2a, wp2a, w2b, wp2b, q, two_q,
-                                    fwd_bfly)
-            x = join(*outs)
-            i += 2
-            continue
-        xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "a"),
-                          _bcast_w(wp, 0, "a"), q, two_q)
-        x = join(nx, ny)
-        i += 1
+        k = 1 << log_k
+        es, join = _splitk(x, row_axis, m, k,
+                           (t // LANES) >> (log_k - 1))
+        wparts = [_parts_a(stages_a[i + j][2], m, 1 << j)
+                  for j in range(log_k)]
+        wpparts = [_parts_a(stages_a[i + j][3], m, 1 << j)
+                   for j in range(log_k)]
+        x = join(*_fwd_radixk_step(es, wparts, wpparts, q, two_q,
+                                   fwd_bfly))
+        i += log_k
     # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
     x = _transpose_tiles(x, tiles, lane_l)
     c_axis = x.lo.ndim - 2
@@ -382,40 +347,23 @@ def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
-        take = 1
-        if radix >= 8 and i + 2 < len(stages_b):
-            take = 3
-        elif radix >= 4 and i + 1 < len(stages_b):
-            take = 2
-        if take == 3:
-            m2, t2, w2, wp2 = stages_b[i + 1]
-            m3, t3, w3, wp3 = stages_b[i + 2]
-            es, join = _splitk(x, c_axis, nb, 8, t3)
-            outs = _fwd_radix8_step(
-                es, _bcast_w(w, 0, "b"), _bcast_w(wp, 0, "b"),
-                _even_odd_b(w2, nb), _even_odd_b(wp2, nb),
-                _quads_b(w3, nb), _quads_b(wp3, nb),
-                q, two_q, fwd_bfly)
-            x = join(*outs)
-            i += 3
+        log_k = min(radix_b.bit_length() - 1, len(stages_b) - i)
+        if log_k <= 1:
+            xs, ys, join = _split2(x, c_axis, nb, t)
+            nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "b"),
+                              _bcast_w(wp, 0, "b"), q, two_q)
+            x = join(nx, ny)
+            i += 1
             continue
-        if take == 2:
-            m2, t2, w2, wp2 = stages_b[i + 1]
-            qs, join = _split4(x, c_axis, nb, t2)
-            w2a, w2b = _even_odd_b(w2, nb * 2 // 2)
-            wp2a, wp2b = _even_odd_b(wp2, nb * 2 // 2)
-            outs = _fwd_radix4_step(qs, _bcast_w(w, 0, "b"),
-                                    _bcast_w(wp, 0, "b"),
-                                    w2a, wp2a, w2b, wp2b, q, two_q,
-                                    fwd_bfly)
-            x = join(*outs)
-            i += 2
-            continue
-        xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = fwd_bfly(xs, ys, _bcast_w(w, 0, "b"),
-                          _bcast_w(wp, 0, "b"), q, two_q)
-        x = join(nx, ny)
-        i += 1
+        k = 1 << log_k
+        es, join = _splitk(x, c_axis, nb, k, t >> (log_k - 1))
+        wparts = [_parts_b(stages_b[i + j][2], nb, 1 << j)
+                  for j in range(log_k)]
+        wpparts = [_parts_b(stages_b[i + j][3], nb, 1 << j)
+                   for j in range(log_k)]
+        x = join(*_fwd_radixk_step(es, wparts, wpparts, q, two_q,
+                                   fwd_bfly))
+        i += log_k
     x = _untranspose_tiles(x, rows)
     return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
@@ -468,12 +416,13 @@ def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
 
 def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return inv_body_small(x, q, two_q, plan.n, plan.irop_dev,
-                          plan.pirop_dev, _plan_fin(plan))
+                          plan.pirop_dev, _plan_fin(plan),
+                          lean_ok=plan.q < LEAN_APPROX_MAX_Q)
 
 
 def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
-                   pirop_dev: U64, fin) -> U64:
-    _, inv_bfly = _bflys()
+                   pirop_dev: U64, fin, lean_ok: bool = False) -> U64:
+    _, inv_bfly = _bflys(lean_ok)
     axis = x.lo.ndim - 1
     root_index = 1
     t = 1
@@ -495,33 +444,23 @@ def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
     return join(nx, ny)
 
 
-def _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b, w2, wp2, q, two_q, bfly):
-    """Two inverse radix-2 levels fused (mirror of _fwd_radix4_step;
-    reference: InvButterflyRadix4, ntt-default.hpp:128-156)."""
-    q0, q1, q2, q3 = qs
-    # Level 1 (stride quarter): (q0,q1) w1 even, (q2,q3) w1 odd.
-    a0, b0 = bfly(q0, q1, w1a, wp1a, q, two_q)
-    c0, d0 = bfly(q2, q3, w1b, wp1b, q, two_q)
-    # Level 2 (stride 2*quarter): (a,c) and (b,d) share w2.
-    a1, c1 = bfly(a0, c0, w2, wp2, q, two_q)
-    b1, d1 = bfly(b0, d0, w2, wp2, q, two_q)
-    return a1, b1, c1, d1
-
-
 def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     from .. import config as _config
-    radix = _config.ntt_radix() if plan.n >= (1 << 13) else 2
+    radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
     return inv_body_2d(x, q, two_q, plan.inv_b, plan.inv_a, _plan_fin(plan),
-                       plan.rows, plan.tiles, plan.lane_l, radix)
+                       plan.rows, plan.tiles, plan.lane_l, radix,
+                       lean_ok=plan.q < LEAN_APPROX_MAX_Q)
 
 
 def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
-                tiles: int, lane_l: int, radix: int) -> U64:
+                tiles: int, lane_l: int, radix,
+                lean_ok: bool = False) -> U64:
     """Table-parameterized 2D inverse body (see fwd_body_2d)."""
+    radix_a, radix_b = _norm_radix(radix)
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
-    _, inv_bfly = _bflys()
+    _, inv_bfly = _bflys(lean_ok)
     # Phase B first (strides 1..64) in the transposed layout.
     x = _transpose_tiles(x, tiles, lane_l)
     c_axis = x.lo.ndim - 2
@@ -530,40 +469,23 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
         nb = LANES // (2 * t)
-        take = 1
-        if radix >= 8 and i + 2 < len(stages_b):
-            take = 3
-        elif radix >= 4 and i + 1 < len(stages_b):
-            take = 2
-        if take == 3:
-            m2, t2, w2, wp2 = stages_b[i + 1]   # stride 2t, nb/2 blocks
-            m3, t3, w3, wp3 = stages_b[i + 2]   # stride 4t, nb/4 blocks
-            es, join = _splitk(x, c_axis, nb // 4, 8, t)
-            outs = _inv_radix8_step(
-                es, _quads_b(w, nb // 4), _quads_b(wp, nb // 4),
-                _even_odd_b(w2, nb // 4), _even_odd_b(wp2, nb // 4),
-                _bcast_w(w3, 0, "b"), _bcast_w(wp3, 0, "b"),
-                q, two_q, inv_bfly)
-            x = join(*outs)
-            i += 3
+        log_k = min(radix_b.bit_length() - 1, len(stages_b) - i)
+        if log_k <= 1:
+            xs, ys, join = _split2(x, c_axis, nb, t)
+            nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "b"),
+                              _bcast_w(wp, 0, "b"), q, two_q)
+            x = join(nx, ny)
+            i += 1
             continue
-        if take == 2:
-            m2, t2, w2, wp2 = stages_b[i + 1]   # stride 2t, nb/2 blocks
-            qs, join = _split4(x, c_axis, nb // 2, t)
-            w1a, w1b = _even_odd_b(w, nb // 2)
-            wp1a, wp1b = _even_odd_b(wp, nb // 2)
-            outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
-                                    _bcast_w(w2, 0, "b"),
-                                    _bcast_w(wp2, 0, "b"), q, two_q,
-                                    inv_bfly)
-            x = join(*outs)
-            i += 2
-            continue
-        xs, ys, join = _split2(x, c_axis, nb, t)
-        nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "b"),
-                          _bcast_w(wp, 0, "b"), q, two_q)
-        x = join(nx, ny)
-        i += 1
+        k = 1 << log_k
+        es, join = _splitk(x, c_axis, nb >> (log_k - 1), k, t)
+        wparts = [_parts_b(stages_b[i + j][2], nb >> (log_k - 1),
+                           k >> (j + 1)) for j in range(log_k)]
+        wpparts = [_parts_b(stages_b[i + j][3], nb >> (log_k - 1),
+                            k >> (j + 1)) for j in range(log_k)]
+        x = join(*_inv_radixk_step(es, wparts, wpparts, q, two_q,
+                                   inv_bfly))
+        i += log_k
     x = _untranspose_tiles(x, rows)
     # Phase A (strides 128 .. N/4) on row blocks.
     row_axis = x.lo.ndim - 2
@@ -571,40 +493,24 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
     i = 0
     while i < len(stages_a):
         m, t, w, wp = stages_a[i]
-        take = 1
-        if radix >= 8 and i + 2 < len(stages_a):
-            take = 3
-        elif radix >= 4 and i + 1 < len(stages_a):
-            take = 2
-        if take == 3:
-            m2, t2, w2, wp2 = stages_a[i + 1]
-            m3, t3, w3, wp3 = stages_a[i + 2]
-            es, join = _splitk(x, row_axis, m // 4, 8, t // LANES)
-            outs = _inv_radix8_step(
-                es, _quads_a(w, m // 4), _quads_a(wp, m // 4),
-                _even_odd_a(w2, m // 4), _even_odd_a(wp2, m // 4),
-                _bcast_w(w3, 0, "a"), _bcast_w(wp3, 0, "a"),
-                q, two_q, inv_bfly)
-            x = join(*outs)
-            i += 3
+        log_k = min(radix_a.bit_length() - 1, len(stages_a) - i)
+        if log_k <= 1:
+            xs, ys, join = _split2(x, row_axis, m, t // LANES)
+            nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "a"),
+                              _bcast_w(wp, 0, "a"), q, two_q)
+            x = join(nx, ny)
+            i += 1
             continue
-        if take == 2:
-            m2, t2, w2, wp2 = stages_a[i + 1]
-            qs, join = _split4(x, row_axis, m // 2, t // LANES)
-            w1a, w1b = _even_odd_a(w, m // 2)
-            wp1a, wp1b = _even_odd_a(wp, m // 2)
-            outs = _inv_radix4_step(qs, w1a, wp1a, w1b, wp1b,
-                                    _bcast_w(w2, 0, "a"),
-                                    _bcast_w(wp2, 0, "a"), q, two_q,
-                                    inv_bfly)
-            x = join(*outs)
-            i += 2
-            continue
-        xs, ys, join = _split2(x, row_axis, m, t // LANES)
-        nx, ny = inv_bfly(xs, ys, _bcast_w(w, 0, "a"),
-                          _bcast_w(wp, 0, "a"), q, two_q)
-        x = join(nx, ny)
-        i += 1
+        k = 1 << log_k
+        es, join = _splitk(x, row_axis, m >> (log_k - 1), k,
+                           t // LANES)
+        wparts = [_parts_a(stages_a[i + j][2], m >> (log_k - 1),
+                           k >> (j + 1)) for j in range(log_k)]
+        wpparts = [_parts_a(stages_a[i + j][3], m >> (log_k - 1),
+                            k >> (j + 1)) for j in range(log_k)]
+        x = join(*_inv_radixk_step(es, wparts, wpparts, q, two_q,
+                                   inv_bfly))
+        i += log_k
     # Final fused stage pairs row r with row r + R/2.
     half = rows // 2
     sl = [slice(None)] * x.lo.ndim

@@ -50,12 +50,13 @@ PALLAS_MAX_N_FWD = 1 << 16
 PALLAS_MAX_N_INV = 1 << 16
 
 
-def _butterflies():
-    """Pallas kernels default to approximate-mulhi Shoup butterflies
-    (values agree mod q; lazy outputs within range but not bit-equal to
+def _butterflies(lean_ok: bool = False):
+    """Pallas kernels default to the lean approximate-mulhi Shoup
+    butterflies when lean_ok (every modulus < jnp_ntt.LEAN_APPROX_MAX_Q;
+    values agree mod q; lazy outputs within range but not bit-equal to
     the exact form — the reference AVX512-64 semantics). Kill switch:
     HEXL_TPU_DISABLE_APPROX."""
-    if config.approx_mulhi_disabled():
+    if config.approx_mulhi_disabled() or not lean_ok:
         return _fwd_butterfly, _inv_butterfly
     return _fwd_butterfly_approx, _inv_butterfly_approx
 
@@ -92,7 +93,7 @@ def _bcast_b(w: U64) -> U64:
 
 
 def _fwd_body(x: U64, plan: NttPlan, fwd_a, fwd_b, omf: int) -> U64:
-    fwd_bfly, _ = _butterflies()
+    fwd_bfly, _ = _butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     q = const64(plan.q)
     two_q = const64(2 * plan.q)
     row_axis = x.lo.ndim - 2
@@ -114,7 +115,7 @@ def _fwd_body(x: U64, plan: NttPlan, fwd_a, fwd_b, omf: int) -> U64:
 
 
 def _inv_body(x: U64, plan: NttPlan, inv_b, inv_a, omf: int) -> U64:
-    _, inv_bfly = _butterflies()
+    _, inv_bfly = _butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     q = const64(plan.q)
     two_q = const64(2 * plan.q)
     x = _transpose_tiles(x, plan.tiles, plan.lane_l)
@@ -194,7 +195,7 @@ def _packed_stage_kernel(plan, s_stages, kb: int, omf: int, forward: bool):
     in XLA (cheap at these sizes; Mosaic cannot lower a lane<->sublane
     3D permutation here).
     """
-    fwd_bfly, inv_bfly = _butterflies()
+    fwd_bfly, inv_bfly = _butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     bfly = fwd_bfly if forward else inv_bfly
     q_i = plan.q
 
@@ -245,7 +246,7 @@ def _xla_phase_a(v: U64, plan: NttPlan, s_a, omf: int, forward: bool,
     plain XLA ops (Mosaic takes ~6 min to compile this phase as a packed
     kernel — measured — while XLA compiles it in seconds and the extra
     HBM round trips are negligible at these sizes)."""
-    fwd_bfly, inv_bfly = _butterflies()
+    fwd_bfly, inv_bfly = _butterflies(plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
     bfly = fwd_bfly if forward else inv_bfly
     for m, t, w, wp in s_a:
         xs, ys, join = _split2(v, 1, m, t // LANES)
@@ -524,7 +525,8 @@ def _run(x: U64, plan: NttPlan, imf: int, omf: int, forward: bool) -> U64:
             return
         q = const64(plan.q)
         two_q = const64(2 * plan.q)
-        fwd_bfly, inv_bfly = _butterflies()
+        fwd_bfly, inv_bfly = _butterflies(
+            plan.q < jnp_ntt.LEAN_APPROX_MAX_Q)
         out_refs = (refs[i], refs[i + 1])
         in_refs = (refs[0], refs[1])
         tt = (refs[i + 2], refs[i + 3])

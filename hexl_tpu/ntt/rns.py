@@ -27,6 +27,7 @@ import numpy as np
 
 from ..limb import U64, cond_sub64, from_limbs, to_limbs
 from . import jnp_ntt
+from .jnp_ntt import LEAN_APPROX_MAX_Q
 from .plan import MIN_2D_N, get_plan
 
 
@@ -113,13 +114,16 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         raise ValueError("output_mod_factor must be 1 or 4")
     from .. import config as _config
     if rplan.rows is not None:
-        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else 2
+        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else (2, 2)
         skel_a, skel_b = _skeleton(rplan.fwd_a), _skeleton(rplan.fwd_b)
+
+        lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
 
         def body(xi, qi, tqi, ta, tb):
             out = jnp_ntt.fwd_body_2d(
                 xi, qi, tqi, _rebuild(skel_a, ta), _rebuild(skel_b, tb),
-                rplan.rows, rplan.tiles, rplan.lane_l, radix)
+                rplan.rows, rplan.tiles, rplan.lane_l, radix,
+                lean_ok=lean_ok)
             if output_mod_factor == 1:
                 out = cond_sub64(cond_sub64(out, tqi), qi)
             return out
@@ -128,7 +132,9 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
                               _tables(rplan.fwd_a), _tables(rplan.fwd_b))
 
     def body(xi, qi, tqi, rop, prop):
-        out = jnp_ntt.fwd_body_small(xi, qi, tqi, rplan.n, rop, prop)
+        out = jnp_ntt.fwd_body_small(
+            xi, qi, tqi, rplan.n, rop, prop,
+            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q)
         if output_mod_factor == 1:
             out = cond_sub64(cond_sub64(out, tqi), qi)
         return out
@@ -146,13 +152,16 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         raise ValueError("output_mod_factor must be 1 or 2")
     from .. import config as _config
     if rplan.rows is not None:
-        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else 2
+        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else (2, 2)
         skel_b, skel_a = _skeleton(rplan.inv_b), _skeleton(rplan.inv_a)
+
+        lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
 
         def body(xi, qi, tqi, tb, ta, fin):
             out = jnp_ntt.inv_body_2d(
                 xi, qi, tqi, _rebuild(skel_b, tb), _rebuild(skel_a, ta),
-                fin, rplan.rows, rplan.tiles, rplan.lane_l, radix)
+                fin, rplan.rows, rplan.tiles, rplan.lane_l, radix,
+                lean_ok=lean_ok)
             if output_mod_factor == 1:
                 out = cond_sub64(out, qi)
             return out
@@ -162,7 +171,9 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
                               rplan.fin)
 
     def body(xi, qi, tqi, irop, pirop, fin):
-        out = jnp_ntt.inv_body_small(xi, qi, tqi, rplan.n, irop, pirop, fin)
+        out = jnp_ntt.inv_body_small(
+            xi, qi, tqi, rplan.n, irop, pirop, fin,
+            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q)
         if output_mod_factor == 1:
             out = cond_sub64(out, qi)
         return out

@@ -41,7 +41,8 @@ from jax.sharding import PartitionSpec as P
 from .. import config
 from ..limb import (U64, coerce_limbs, cond_sub64, const64, from_limbs,
                     reduce_mod_lazy64)
-from ..ntt.jnp_ntt import _bflys, _final_inv_stage, _split2
+from ..ntt.jnp_ntt import (LEAN_APPROX_MAX_Q, _bflys, _final_inv_stage,
+                           _split2)
 from ..ntt.plan import get_plan
 
 
@@ -83,7 +84,7 @@ class PipelineNTT:
         t = self.n // (2 * m)
 
         def run(x: U64, q, two_q) -> U64:
-            fwd_bfly, _ = _bflys()
+            fwd_bfly, _ = _bflys(self.q < LEAN_APPROX_MAX_Q)
             xs, ys, join = _split2(x, x.lo.ndim - 1, m, t)
             w = U64(plan.rop_dev.hi[m:2 * m, None],
                     plan.rop_dev.lo[m:2 * m, None])
@@ -105,7 +106,7 @@ class PipelineNTT:
         root_index = 1 + sum(n // (2 << j) for j in range(k))
 
         def run(x: U64, q, two_q) -> U64:
-            _, inv_bfly = _bflys()
+            _, inv_bfly = _bflys(self.q < LEAN_APPROX_MAX_Q)
             axis = x.lo.ndim - 1
             xs, ys, join = _split2(x, axis, m, t)
             if m == 1:

@@ -177,6 +177,36 @@ def test_mulhi64_approx_error_le_1():
     assert np.all((diff == 0) | (diff == 1))
 
 
+def test_mulhi64_approx6_error_le_6():
+    """The lean quotient mulhi may be short by at most 6 (never over)."""
+    a, b = _pairs(20, 500)
+    la, lb = limb.to_limbs(a), limb.to_limbs(b)
+    exact = limb.from_limbs(limb.mulhi64(la, lb)).astype(object)
+    approx = limb.from_limbs(limb.mulhi64_approx6(la, lb)).astype(object)
+    diff = exact - approx
+    assert np.all((diff >= 0) & (diff <= 6))
+
+
+def test_lean_approx_butterfly_ranges_and_values():
+    """The lean approximate Shoup multiply (e<=6, 4q/2q cond-sub chain)
+    agrees with the exact form mod q and lands in [0, 2q) for every
+    q < LEAN_APPROX_MAX_Q regime boundary."""
+    from hexl_tpu.ntt.jnp_ntt import _shoup_approx
+    for q_bits in (29, 49, 59, 60):
+        q = nt.generate_primes(1, q_bits, True)[0]
+        rng = np.random.default_rng(q_bits)
+        x = rng.integers(0, 4 * q, size=500, dtype=np.uint64)
+        x[:2] = [4 * q - 1, 0]
+        w = int(rng.integers(1, q))
+        wp = nt.barrett_factor(w, 64, q)
+        got = limb.from_limbs(jax.jit(lambda v: _shoup_approx(
+            v, limb.const64(w), limb.const64(wp), limb.const64(q),
+            limb.const64(2 * q)))(limb.to_limbs(x)))
+        assert np.all(got < np.uint64(2 * q))
+        np.testing.assert_array_equal(
+            got % np.uint64(q), (x.astype(object) * w % q).astype(np.uint64))
+
+
 def test_shoup_mul_lazy_approx():
     q = nt.generate_primes(1, 60, True)[0]
     rng = np.random.default_rng(0)

@@ -348,7 +348,7 @@ def test_radix4_walker_bit_exact(monkeypatch):
         monkeypatch.setattr(_cfg, "ntt_radix", lambda: 2)
         want = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x), plan, 4, 4))
         want_i = from_limbs(jnp_ntt.inv_ntt(to_limbs(xi), plan, 2, 2))
-        for radix in (4, 8):
+        for radix in (4, 8, 16, (16, 4), (4, 16), (32, 8)):
             monkeypatch.setattr(_cfg, "ntt_radix", lambda r=radix: r)
             got = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x), plan, 4, 4))
             got_i = from_limbs(jnp_ntt.inv_ntt(to_limbs(xi), plan, 2, 2))

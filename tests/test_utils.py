@@ -149,11 +149,13 @@ def test_env_switch_validation(monkeypatch):
         config.ntt_backend()
     monkeypatch.setenv("HEXL_TPU_NTT_BACKEND", "pallas")
     assert config.ntt_backend() == "pallas"
-    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "16")
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "3")
     with pytest.raises(ValueError):
         config.ntt_radix()
     monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "8")
-    assert config.ntt_radix() == 8
+    assert config.ntt_radix() == (8, 8)
+    monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "16,4")
+    assert config.ntt_radix() == (16, 4)
     monkeypatch.setenv("HEXL_TPU_FFT_RADIX", "radix4")
     with pytest.raises(ValueError):
         config.fft_radix()
