@@ -357,16 +357,20 @@ class DistNTT:
     # -- public API --------------------------------------------------------
 
     @staticmethod
-    def _x_spec(ndim: int) -> P:
+    def _x_spec(ndim: int, batch_shard: bool = True) -> P:
         """Coefficients shard over 'coeff'; the leading dim (if any) over
-        'batch'; middle dims replicated."""
-        if ndim == 1:
-            return P("coeff")
+        'batch' when batch_shard (it must then divide the batch axis);
+        middle dims replicated. batch_shard=False replicates every
+        leading dim — the composite pipelines (dist_key_switch) use it
+        for modulus-count axes that need not divide the mesh."""
+        if ndim == 1 or not batch_shard:
+            return P(*([None] * (ndim - 1)), "coeff")
         return P("batch", *([None] * (ndim - 2)), "coeff")
 
-    def _build_fwd(self, imf: int, omf: int, ndim: int):
+    def _build_fwd(self, imf: int, omf: int, ndim: int,
+                   batch_shard: bool = True):
         mesh = self.mesh
-        x_spec = self._x_spec(ndim)
+        x_spec = self._x_spec(ndim, batch_shard)
 
         def body(x_hi, x_lo, *tables):
             x = U64(x_hi, x_lo)
@@ -403,9 +407,10 @@ class DistNTT:
         jitted = jax.jit(lambda xh, xl: fn(xh, xl, *table_planes))
         return jitted
 
-    def _build_inv(self, imf: int, omf: int, ndim: int):
+    def _build_inv(self, imf: int, omf: int, ndim: int,
+                   batch_shard: bool = True):
         mesh = self.mesh
-        x_spec = self._x_spec(ndim)
+        x_spec = self._x_spec(ndim, batch_shard)
 
         def body(x_hi, x_lo, *tables):
             x = U64(x_hi, x_lo)
@@ -512,28 +517,30 @@ class DistNTT:
         return from_limbs(out) if host else out
 
     def forward(self, x, input_mod_factor: int = 1,
-                output_mod_factor: int = 1):
+                output_mod_factor: int = 1, batch_shard: bool = True):
         """Sharded forward NTT; x shape (batch..., N) (host numpy or U64)."""
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
         key = (input_mod_factor, output_mod_factor, x_l.lo.ndim,
-               config.trace_config())
+               batch_shard, config.trace_config())
         if key not in self._fwd_cache:
             self._fwd_cache[key] = self._build_fwd(
-                input_mod_factor, output_mod_factor, x_l.lo.ndim)
+                input_mod_factor, output_mod_factor, x_l.lo.ndim,
+                batch_shard)
         hi, lo = self._fwd_cache[key](x_l.hi, x_l.lo)
         out = U64(hi, lo)
         return from_limbs(out) if host else out
 
     def inverse(self, x, input_mod_factor: int = 1,
-                output_mod_factor: int = 1):
+                output_mod_factor: int = 1, batch_shard: bool = True):
         host = not isinstance(x, U64)
         x_l = to_limbs(np.asarray(x, dtype=np.uint64)) if host else x
         key = (input_mod_factor, output_mod_factor, x_l.lo.ndim,
-               config.trace_config())
+               batch_shard, config.trace_config())
         if key not in self._inv_cache:
             self._inv_cache[key] = self._build_inv(
-                input_mod_factor, output_mod_factor, x_l.lo.ndim)
+                input_mod_factor, output_mod_factor, x_l.lo.ndim,
+                batch_shard)
         hi, lo = self._inv_cache[key](x_l.hi, x_l.lo)
         out = U64(hi, lo)
         return from_limbs(out) if host else out

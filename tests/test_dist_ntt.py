@@ -181,3 +181,53 @@ def test_dist_overlap_variant_matches_blocking(slices):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(blocking.poly_mult(x, x),
                                   overlapped.poly_mult(x, x))
+
+
+def test_dist_dyadic_multiply_matches_single_chip():
+    """Coefficient-sharded dyadic ct x ct product == single-chip result
+    (element-wise op: sharding must be pure placement, no value change)."""
+    from hexl_tpu.experimental import dyadic_multiply
+    from hexl_tpu.parallel import dist_dyadic_multiply, make_mesh
+
+    n, m = 1024, 4
+    moduli = nt.generate_primes(m, 40, True, ntt_size=n)
+    rng = np.random.default_rng(11)
+    x = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    y = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                            for q in moduli]) for _ in range(2)])
+    mesh = make_mesh(4, 2)
+    got = dist_dyadic_multiply(x, y, moduli, mesh)
+    exp = dyadic_multiply(x, y, moduli)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_dist_key_switch_matches_single_chip():
+    """The mesh-sharded key switch is bit-equal to the single-chip
+    composite (same lazy-range chaining, NTTs through DistNTT)."""
+    from hexl_tpu.experimental import key_switch
+    from hexl_tpu.parallel import dist_key_switch, make_mesh
+
+    n, ds, kc = 1024, 2, 2
+    kms = rns = ds + 1
+    moduli = nt.generate_primes(kms, 40, True, ntt_size=n)
+    qk = moduli[-1]
+    rng = np.random.default_rng(12)
+    t_target = np.stack([rng.integers(0, q, n, np.uint64)
+                         for q in moduli[:ds]])
+    keys = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                        dtype=np.uint64)
+    for j in range(ds):
+        for k in range(kc):
+            for m_i, q in enumerate(moduli):
+                keys[j, k, m_i] %= np.uint64(q)
+    msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+    result = np.stack([np.stack([rng.integers(0, q, n, np.uint64)
+                                 for q in moduli[:ds]])
+                       for _ in range(kc)])
+    mesh = make_mesh(2, 4)
+    got = dist_key_switch(result, t_target, n, ds, kms, rns, kc, moduli,
+                          keys, msf, mesh)
+    exp = key_switch(result, t_target, n, ds, kms, rns, kc, moduli, keys,
+                     msf)
+    np.testing.assert_array_equal(got, exp)
