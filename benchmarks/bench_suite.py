@@ -248,9 +248,45 @@ def main():
         record("eltwise_mont_form_in", n, q_bits, elt_batch, _time_dispatch(
             _chained(lambda x, q=q: ek.montgomery_form_in(x, q)),
             (a,), iters))
+        record("eltwise_mont_form_out", n, q_bits, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, q=q: ek.montgomery_form_out(x, q)),
+                   (a,), iters))
         record("eltwise_mont_reduce", n, q_bits, elt_batch, _time_dispatch(
             _chained(lambda x, y, q=q: ek.montgomery_mult_reduce(x, y, q),
                      (b,)), (a, ), iters))
+
+    # Vector-scalar add/sub + FMA-with-addend + reduce-mod range variants
+    # (reference registrations: bench-eltwise-add-mod.cpp scalar rows,
+    # bench-eltwise-fma-mod.cpp with/without arg3,
+    # bench-eltwise-reduce-mod.cpp input-range variants).
+    if not args.quick:
+        n, q_bits = 4096, 60
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        a = rand_u64(elt_batch, n, q)
+        s = int(rng.integers(1, q))
+        record("eltwise_add_mod_scalar", n, q_bits, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, q=q, s=s: ek.add_mod(x, s, q)),
+                   (a,), iters))
+        record("eltwise_sub_mod_scalar", n, q_bits, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, q=q, s=s: ek.sub_mod(x, s, q)),
+                   (a,), iters))
+        n = 16384
+        q = nt.generate_primes(1, 59, True, ntt_size=n)[0]
+        a = rand_u64(elt_batch, n, q)
+        s = int(rng.integers(1, q))
+        record("eltwise_fma_mod_no_addend", n, 59, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, q=q, s=s: ek.fma_mod(x, s, None,
+                                                           q, 1)),
+                   (a,), iters))
+        a2 = rand_u64(elt_batch, n, 2 * q)
+        record("eltwise_reduce_mod_2to1", n, 59, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, q=q: ek.reduce_mod(x, q, 2, 1)),
+                   (a2,), iters))
 
     # ---- Single-limb fast path (q < 2^30, the DQ-32 regime) ----
     if not args.quick:
@@ -293,18 +329,21 @@ def main():
         from hexl_tpu.eltwise import pallas_kernels as epk
         n, q_bits, mac_batch = 8192, 60, 1024
         q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
-        a, b, c2, d2 = (rand_u64(mac_batch, n, q) for _ in range(4))
+        a, b, d2 = (rand_u64(mac_batch, n, q) for _ in range(3))
 
-        def mac(x, y, z, w, qq=q):
+        def mac(x, y, w, qq=q):
+            # Both products take the carried operand so neither is
+            # loop-invariant under the scan (a z-constant second product
+            # gets hoisted and the row under-reports).
             return ekk.add_mod(ekk.mult_mod(x, y, qq, 1),
-                               ekk.mult_mod(z, w, qq, 1), qq)
+                               ekk.mult_mod(x, w, qq, 1), qq)
 
         record("eltwise_mac_fused_xla", n, q_bits, mac_batch,
-               _time_dispatch(_chained(mac, (b, c2, d2)), (a,), iters))
+               _time_dispatch(_chained(mac, (b, d2)), (a,), iters))
         record("eltwise_mac_fused_pallas", n, q_bits, mac_batch,
                _time_dispatch(
-                   _chained(lambda x, y, z, w: epk.run_eltwise(
-                       mac, (x, y, z, w)), (b, c2, d2)), (a,), iters))
+                   _chained(lambda x, y, w: epk.run_eltwise(
+                       mac, (x, y, w)), (b, d2)), (a,), iters))
 
     # ---- Composite: fused poly-mult pipeline ----
     if not args.quick:
@@ -408,12 +447,22 @@ def main():
             [np.stack([rng.integers(0, q, n, np.uint64)
                        for q in moduli[:ds]]) for _ in range(kc)]))
 
-        def ks_step(r, t, kk):
-            # result accumulates in-place semantics: output shape == input
-            return key_switch(r, t, n, ds, kms, rns, kc, moduli, kk, msf)
+        def ks_step(t, r, kk):
+            # Chain on the TARGET, not the result accumulator: the
+            # accumulator only feeds the final add_mod, so a result-carried
+            # chain lets XLA hoist the whole pipeline out of the scan
+            # (measured: 32x under-report). The output's first component
+            # (kc=0) is (ds, n) in NTT form mod moduli[:ds] — a valid next
+            # target, making every step's full pipeline carry-dependent.
+            out = key_switch(r, t, n, ds, kms, rns, kc, moduli, kk, msf)
+            from hexl_tpu.limb import U64 as _U
+            return _U(out.hi[0], out.lo[0])
 
-        fn = _chained(lambda r: ks_step(r, t_target, keys))
-        dt = _time_dispatch(fn, (res0,), max(1, iters // 2))
+        # Build plans eagerly (outside the scan trace) once.
+        _ = key_switch(res0, t_target, n, ds, kms, rns, kc, moduli, keys,
+                       msf)
+        fn = _chained(lambda t: ks_step(t, res0, keys))
+        dt = _time_dispatch(fn, (t_target,), max(1, iters // 2))
         us = dt / CHAIN * 1e6
         base = baseline.get(("key_switch", n, 49))
         row = {"kernel": "key_switch", "n": n, "q_bits": 49, "batch": 1,

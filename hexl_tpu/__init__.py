@@ -8,5 +8,6 @@ of single-socket SIMD.
 """
 
 from . import nt, ref
+from .prewarm import prewarm
 
 __version__ = "0.1.0"

@@ -18,6 +18,7 @@ fast complex64 path.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,100 @@ def _stage_loop_fwd(x, table, n, scalar):
         x = jnp.stack([xs + t, xs - t], axis=-2).reshape(x.shape)
         m <<= 1
         gap >>= 1
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Single-precision lane as split re/im f32 planes. complex64 CONSTANTS fail
+# to lower on this TPU backend (measured round 2), so precision="single" on
+# TPU carries complex values as a (re, im) float32 pytree and does the
+# complex arithmetic manually — same butterflies, same stage order as the
+# complex64 loops (reference: fft-like.cpp:74-134; its AVX512 kernels also
+# operate on split interleaved doubles, fwd-fft-like-avx512.cpp).
+# ---------------------------------------------------------------------------
+
+class CS(NamedTuple):
+    """A complex64 array as two float32 planes."""
+
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+
+def cs_from_complex(x) -> CS:
+    a = np.asarray(x, dtype=np.complex64)
+    return CS(jnp.asarray(a.real.astype(np.float32)),
+              jnp.asarray(a.imag.astype(np.float32)))
+
+
+def cs_to_complex64(x: CS) -> np.ndarray:
+    return (np.asarray(x.re).astype(np.complex64)
+            + 1j * np.asarray(x.im).astype(np.complex64))
+
+
+def _cs_mul(a: CS, b: CS) -> CS:
+    return CS(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def _cs_scale(a: CS, s) -> CS:
+    s = jnp.float32(s)
+    return CS(a.re * s, a.im * s)
+
+
+def _cs_map(f, *xs):
+    return CS(f(*[x.re for x in xs]), f(*[x.im for x in xs]))
+
+
+def _stage_loop_fwd_cs(x: CS, table: CS, n, scalar) -> CS:
+    """Split-plane mirror of _stage_loop_fwd (same butterfly order)."""
+    m = 1
+    gap = n >> 1
+    shape = x.re.shape
+    while m < n:
+        v = _cs_map(lambda p: p.reshape(p.shape[:-1] + (m, 2, gap)), x)
+        xs = _cs_map(lambda p: p[..., 0, :], v)
+        ys = _cs_map(lambda p: p[..., 1, :], v)
+        w = _cs_map(lambda p: p[m:2 * m][:, None], table)
+        if gap == 1 and scalar is not None:
+            w = _cs_scale(w, scalar)
+            xs = _cs_scale(xs, scalar)
+        t = _cs_mul(ys, w)
+        x = _cs_map(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(shape),
+            _cs_map(jnp.add, xs, t), _cs_map(jnp.subtract, xs, t))
+        m <<= 1
+        gap >>= 1
+    return x
+
+
+def _stage_loop_inv_cs(x: CS, table: CS, n, scalar) -> CS:
+    """Split-plane mirror of _stage_loop_inv."""
+    root_index = 1
+    gap = 1
+    m = n >> 1
+    stop = 0 if scalar is None else 1
+    shape = x.re.shape
+    while m > stop:
+        v = _cs_map(lambda p: p.reshape(p.shape[:-1] + (m, 2, gap)), x)
+        xs = _cs_map(lambda p: p[..., 0, :], v)
+        ys = _cs_map(lambda p: p[..., 1, :], v)
+        w = _cs_map(lambda p, r=root_index, mm=m: p[r:r + mm][:, None],
+                    table)
+        root_index += m
+        lo = _cs_map(jnp.add, xs, ys)
+        hi = _cs_mul(_cs_map(jnp.subtract, xs, ys), w)
+        x = _cs_map(
+            lambda a, b: jnp.stack([a, b], axis=-2).reshape(shape),
+            lo, hi)
+        m >>= 1
+        gap <<= 1
+    if stop == 1:
+        half = n >> 1
+        xs = _cs_map(lambda p: p[..., :half], x)
+        ys = _cs_map(lambda p: p[..., half:], x)
+        w = _cs_scale(_cs_map(lambda p: p[root_index], table), scalar)
+        lo = _cs_scale(_cs_map(jnp.add, xs, ys), scalar)
+        hi = _cs_mul(_cs_map(jnp.subtract, xs, ys), w)
+        x = _cs_map(lambda a, b: jnp.concatenate([a, b], axis=-1), lo, hi)
     return x
 
 
@@ -466,6 +561,17 @@ class FFTLike:
                 self._rows, self._tiles, self._lane_l = rows, tiles, lane_l
                 self._w_final = cdf_from_complex128(inv[degree - 1])
             return
+        # precision="single" on the TPU backend: complex64 constants do
+        # not lower there, so the transform runs on split re/im f32
+        # planes (CS) — same butterflies, complex arithmetic done
+        # manually. Elsewhere "single" stays complex64.
+        self._single_planes = (precision == "single"
+                               and config.default_backend() == "tpu")
+        if self._single_planes:
+            self._ctype = None
+            self.fwd_table = cs_from_complex(fwd)
+            self.inv_table = cs_from_complex(inv)
+            return
         self._ctype = (jnp.complex128 if precision == "f64"
                        else jnp.complex64)
         self.fwd_table = jnp.asarray(fwd, dtype=self._ctype)
@@ -504,6 +610,10 @@ class FFTLike:
             if self.precision == "double_float":
                 scal = self._inv_scale_df
                 fn = jax.jit(lambda x: self.df_fwd_body(x, scal))
+            elif self._single_planes:
+                scal = self.inv_scale
+                fn = jax.jit(
+                    lambda x: _stage_loop_fwd_cs(x, table, n, scal))
             else:
                 scal = self.inv_scale
                 fn = jax.jit(lambda x: _stage_loop_fwd(x, table, n, scal))
@@ -520,6 +630,10 @@ class FFTLike:
             if self.precision == "double_float":
                 scal = self._scale_df
                 fn = jax.jit(lambda x: self.df_inv_body(x, scal))
+            elif self._single_planes:
+                scal = self.scale
+                fn = jax.jit(
+                    lambda x: _stage_loop_inv_cs(x, table, n, scal))
             else:
                 scal = self.scale
                 fn = jax.jit(lambda x: _stage_loop_inv(x, table, n, scal))
@@ -531,6 +645,8 @@ class FFTLike:
         if self.precision == "double_float":
             from .df32 import cdf_from_complex128, cdf_to_complex128
             return cdf_to_complex128(self._fwd_jit(cdf_from_complex128(x)))
+        if self._single_planes:
+            return cs_to_complex64(self._fwd_jit(cs_from_complex(x)))
         return self._fwd_jit(jnp.asarray(x, dtype=self._ctype))
 
     def inverse(self, x):
@@ -538,7 +654,89 @@ class FFTLike:
         if self.precision == "double_float":
             from .df32 import cdf_from_complex128, cdf_to_complex128
             return cdf_to_complex128(self._inv_jit(cdf_from_complex128(x)))
+        if self._single_planes:
+            return cs_to_complex64(self._inv_jit(cs_from_complex(x)))
         return self._inv_jit(jnp.asarray(x, dtype=self._ctype))
+
+    def build_floating_points_device(self, plain, threshold,
+                                     decryption_modulus, inv_scale):
+        """CRT-compose multi-word integers to scaled double-float planes
+        ON DEVICE (the reference computes this as an AVX512 device kernel,
+        fft-like-avx512.cpp:136-159; the TPU-native output format is the
+        DF 2xf32 pair the double-float FFT consumes directly).
+
+        plain: (mod_size, n) uint64 words (little-endian); values >=
+        threshold are negative (value - decryption_modulus). Returns a
+        jittable DF of shape (n,) ~= value * inv_scale with ~2^-47
+        relative accuracy (the DF mantissa; the host f64 version keeps
+        2^-52). Requires every |words[w] * inv_scale * 2^(64w)| within
+        float32 exponent range.
+        """
+        from .df32 import DF, df_add, df_from_f64, df_mul
+        from ..limb import U64, sub64, lt64, select64, to_limbs
+
+        plain = np.asarray(plain, dtype=np.uint64)
+        mod_size, n = plain.shape
+        thr_words = [int(threshold[w]) for w in range(mod_size)]
+        dec_words = [int(decryption_modulus[w]) for w in range(mod_size)]
+        words = [to_limbs(plain[w]) for w in range(mod_size)]
+
+        def body(words):
+            # value >= threshold? multiword lexicographic compare, top down.
+            from ..limb import const64, eq64, ge64
+            ge = None
+            eq_so_far = None
+            for w in range(mod_size - 1, -1, -1):
+                tw = const64(thr_words[w])
+                gt_w = ge64(words[w], tw) & ~eq64(words[w], tw)
+                eq_w = eq64(words[w], tw)
+                if ge is None:
+                    ge, eq_so_far = gt_w, eq_w
+                else:
+                    ge = ge | (eq_so_far & gt_w)
+                    eq_so_far = eq_so_far & eq_w
+            neg = ge | eq_so_far  # value >= threshold
+
+            # magnitude of (value - dec) for negatives: dec - value
+            # (multiword subtraction with borrow), else value itself.
+            mag_pos = words
+            mag_neg = []
+            borrow = None
+            for w in range(mod_size):
+                dw = const64(dec_words[w])
+                diff = sub64(dw, words[w])
+                under = lt64(dw, words[w])
+                if borrow is not None:
+                    one = const64(1)
+                    diff2 = sub64(diff, one)
+                    under = under | (borrow & eq64(diff, const64(0)))
+                    diff = select64(borrow, diff2, diff)
+                mag_neg.append(diff)
+                borrow = under
+            mag = [select64(neg, mag_neg[w], mag_pos[w])
+                   for w in range(mod_size)]
+
+            # DF compose: sum_w mag[w] * (inv_scale * 2^(64w)), each u32
+            # limb lifted exactly (top-24/low-8 split).
+            import jax.numpy as _jnp
+
+            def u32_df(a):
+                top = (a >> 8).astype(_jnp.float32) * _jnp.float32(256.0)
+                bot = (a & jnp.uint32(0xFF)).astype(_jnp.float32)
+                return DF(top, bot)  # unnormalized but exact as a sum
+
+            acc = None
+            for w in range(mod_size):
+                s_lo = df_from_f64(np.float64(inv_scale) * (2.0 ** (64 * w)))
+                s_hi = df_from_f64(np.float64(inv_scale)
+                                   * (2.0 ** (64 * w + 32)))
+                term = df_add(df_mul(u32_df(mag[w].lo), s_lo),
+                              df_mul(u32_df(mag[w].hi), s_hi))
+                acc = term if acc is None else df_add(acc, term)
+            sign = _jnp.where(neg, _jnp.float32(-1.0), _jnp.float32(1.0))
+            return DF(acc.hi * sign, acc.lo * sign)
+
+        return jax.jit(body)(words)
 
     def build_floating_points(self, plain, threshold, decryption_modulus,
                               inv_scale):

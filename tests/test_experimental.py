@@ -395,3 +395,69 @@ def test_key_switch_approx_flush_forced(monkeypatch):
 
     monkeypatch.setattr(K, "_approx", lambda: True)
     _run_key_switch_case(1 << 10, 2, 2, bits=49, seed=77)
+
+
+def test_fft_like_single_split_planes(monkeypatch):
+    """precision="single" must run WITHOUT complex dtypes when the
+    backend is TPU (complex64 constants do not lower there): the split
+    re/im f32 plane path must match the complex64 loop to f32 accuracy
+    and round-trip. Forced on CPU via the backend switch; runs natively
+    under HEXL_TPU_TEST_PLATFORM=tpu."""
+    import hexl_tpu.config as _cfg
+    from hexl_tpu.experimental import fft_like as FL
+
+    n = 256
+    rng = np.random.default_rng(5)
+    z = (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(
+        np.complex64)
+
+    if _cfg.default_backend() != "tpu":
+        ref_fft = FL.FFTLike(n, scalar=2.0 ** 10, precision="single")
+        ref_fwd = np.asarray(ref_fft.forward(z))
+        ref_inv = np.asarray(ref_fft.inverse(ref_fwd))
+        monkeypatch.setattr(_cfg, "default_backend", lambda: "tpu")
+    else:
+        ref_fwd = ref_inv = None
+
+    fft = FL.FFTLike(n, scalar=2.0 ** 10, precision="single")
+    assert fft._single_planes
+    got_fwd = fft.forward(z)
+    got_inv = fft.inverse(got_fwd)
+    assert got_fwd.dtype == np.complex64
+    if ref_fwd is not None:
+        np.testing.assert_allclose(got_fwd, ref_fwd, rtol=2e-5, atol=2e-4)
+        np.testing.assert_allclose(got_inv, ref_inv, rtol=2e-5, atol=2e-4)
+    # Round trip (fwd scales by 1/scalar, inv by scalar/n).
+    np.testing.assert_allclose(got_inv, z, rtol=5e-4, atol=5e-4)
+
+
+def test_build_floating_points_device_matches_host():
+    """The device (DF 2xf32) BuildFloatingPoints must match the host f64
+    version to the DF precision (~2^-47 rel; reference computes this as
+    a device kernel, fft-like-avx512.cpp:136-159)."""
+    from hexl_tpu.experimental import fft_like as FL
+    from hexl_tpu.experimental.df32 import df_to_f64
+
+    n = 64
+    fft = FL.FFTLike(n, precision="double_float")
+    rng = np.random.default_rng(9)
+    mod_size = 2
+    dec = (1 << 100) + 12345  # decryption modulus (multiword)
+    thr = dec >> 1
+    vals = [int(rng.integers(0, 1 << 62)) << 40 | int(rng.integers(0, 1 << 40))
+            for _ in range(n)]
+    vals = [v % dec for v in vals]
+    plain = np.zeros((mod_size, n), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        for w in range(mod_size):
+            plain[w, i] = (v >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+    thr_words = [(thr >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+                 for w in range(mod_size)]
+    dec_words = [(dec >> (64 * w)) & 0xFFFFFFFFFFFFFFFF
+                 for w in range(mod_size)]
+    inv_scale = 2.0 ** -40
+
+    host = fft.build_floating_points(plain, thr_words, dec_words, inv_scale)
+    dev = df_to_f64(fft.build_floating_points_device(
+        plain, thr_words, dec_words, inv_scale))
+    np.testing.assert_allclose(dev, host.real, rtol=3e-14, atol=1e-20)

@@ -417,3 +417,34 @@ def test_approx_butterflies_forced_on_cpu(monkeypatch):
     np.testing.assert_array_equal(got4 % q, exp4 % q)
     back = np.asarray(ntt.inverse(got1, 1, 1))
     np.testing.assert_array_equal(back, x)
+
+
+# Regime-boundary parity grid (reference test density: N in {2^1..2^13} x
+# modulus bits {27..33, 48..51, 58..60}, test/include/test/test-ntt-util.
+# hpp:131-159). Sampled budget-aware: every bit-width at the regime
+# boundaries (2^30 single-limb gate, 2^50/2^52 MXU/IFMA gates, the 60-61
+# lean-butterfly gate) x two degrees straddling the flat/2D path split.
+@pytest.mark.parametrize("q_bits",
+                         [27, 28, 29, 30, 31, 32, 33,
+                          48, 49, 50, 51, 58, 59, 60, 61])
+@pytest.mark.parametrize("log_n", [5, 11])
+def test_regime_boundary_grid(log_n, q_bits):
+    n = 1 << log_n
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(log_n * 1000 + q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    rop, prop = ntt.plan.rop, ntt.plan.prop
+    irop, pirop = ntt.plan.irop, ntt.plan.pirop
+
+    got = ntt.forward(x, 1, 1)
+    np.testing.assert_array_equal(
+        got, ref.fwd_ntt_radix2(x, q, rop, prop, 1, 1))
+    lazy = ntt.forward(x, 1, 4)
+    assert np.all(lazy < np.uint64(4 * q))
+    np.testing.assert_array_equal(lazy % np.uint64(q), got)
+    back = ntt.inverse(got, 1, 1)
+    np.testing.assert_array_equal(back, x)
+    lazy_i = ntt.inverse(got, 1, 2)
+    assert np.all(lazy_i < np.uint64(2 * q))
+    np.testing.assert_array_equal(lazy_i % np.uint64(q), x)

@@ -186,3 +186,13 @@ def test_trace_config_keys_jit_caches(monkeypatch):
     monkeypatch.setenv("HEXL_TPU_NTT_RADIX", "4")
     y4 = np.asarray(ntt.forward(x))
     np.testing.assert_array_equal(y2, y4)
+
+
+def test_prewarm_populates_and_runs():
+    """hexl_tpu.prewarm compiles the four staged entry points per config
+    and returns timing records (cold-start mitigation, ROADMAP)."""
+    import hexl_tpu
+
+    recs = hexl_tpu.prewarm([(64, 30)], batch=1, verbose=False)
+    assert [(r[0], r[2]) for r in recs] == [(64, "xla")]
+    assert recs[0][3] >= 0

@@ -197,3 +197,26 @@ def test_cmp_sub_mod_vs_reference(crosscheck_bin, cmp):
                    bound, diff, arrays=[a])
     np.testing.assert_array_equal(
         eltwise_cmp_sub_mod(a, q, cmp, bound, diff), want)
+
+
+# Regime-boundary density vs the COMPILED reference (the reference's own
+# equivalence grid runs modulus bits {27..33, 48..51, 58..60},
+# test/include/test/test-ntt-util.hpp:131-159). One strict and one lazy
+# signature per bit-width at a flat-path and a 2D-path degree.
+@pytest.mark.parametrize("q_bits",
+                         [27, 28, 30, 31, 32, 33, 48, 50, 51, 58, 59, 61])
+@pytest.mark.parametrize("n", [32, 2048])
+def test_regime_boundary_vs_reference(crosscheck_bin, n, q_bits):
+    q = nt.generate_primes(1, q_bits, True, n)[0]
+    rng = _rng("grid", n, q_bits, 0)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    ntt = NTT(n, q)
+    want = run_ref(crosscheck_bin, "fwd_ntt", n, q, 1, 1, arrays=[x])
+    np.testing.assert_array_equal(ntt.forward(x, 1, 1), want)
+    want4 = run_ref(crosscheck_bin, "fwd_ntt", n, q, 4, 4,
+                    arrays=[(x + np.uint64(q)) % np.uint64(4 * q)])
+    got4 = ntt.forward((x + np.uint64(q)) % np.uint64(4 * q), 4, 4)
+    assert_lazy_equal(got4, want4, q, 4)
+    want_i = run_ref(crosscheck_bin, "inv_ntt", n, q, 1, 1, arrays=[want])
+    np.testing.assert_array_equal(ntt.inverse(np.asarray(want), 1, 1),
+                                  want_i)
