@@ -66,10 +66,14 @@ def main():
 
     flops = 2 * F * K * M
 
+    # chain carries the (F, K) operand; fold the (F, M) product back to
+    # (F, K) via tiling so the chain stays shape-stable and dependent.
+    reps = K // M
+
     def bf16_step(x):
         y = jax.lax.dot(x, wb, preferred_element_type=jnp.float32)
-        # fold back to bf16 operand domain to keep the chain dependent
-        return (y % jnp.float32(128.0)).astype(jnp.bfloat16)
+        y = (y % jnp.float32(128.0)).astype(jnp.bfloat16)
+        return jnp.tile(y, (1, reps))
 
     dt = true_time(bf16_step, ab)
     print(f"bf16 dot {F}x{K}x{M}: {dt*1e6:8.1f} us/step "
@@ -77,9 +81,10 @@ def main():
 
     def int8_step(x):
         y = jax.lax.dot(x, w8, preferred_element_type=jnp.int32)
-        return (y & jnp.int32(127)).astype(jnp.int8)
+        y = (y & jnp.int32(127)).astype(jnp.int8)
+        return jnp.tile(y, (1, reps))
 
-    dt8 = true_time(int8_step, a8)
+    dt8 = true_time(int8_step, a8, k1=32, k2=128, iters=4)
     print(f"int8 dot {F}x{K}x{M}: {dt8*1e6:8.1f} us/step "
           f"({flops/dt8/1e12:6.1f} TOP/s)  -> int8/bf16 speedup "
           f"{dt/dt8:.2f}x")

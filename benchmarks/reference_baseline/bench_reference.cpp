@@ -10,9 +10,11 @@
 #include <vector>
 
 #include "hexl/hexl.hpp"
+#include "eltwise/eltwise-reduce-mod-avx512.hpp"  // Montgomery internals
 #ifdef BASELINE_EXPERIMENTAL
 #include <complex>
 #include "hexl/experimental/fft-like/fft-like.hpp"
+#include "hexl/experimental/seal/dyadic-multiply.hpp"
 #include "hexl/experimental/seal/key-switch.hpp"
 #endif
 
@@ -120,12 +122,62 @@ int main() {
     emit("eltwise_fma_mod", n, 59, time_per_call_us([&] {
            EltwiseFMAMod(out.data(), a.data(), 12345, c.data(), n, q, 1);
          }));
+    emit("eltwise_fma_mod_no_addend", n, 59, time_per_call_us([&] {
+           EltwiseFMAMod(out.data(), a.data(), 12345, nullptr, n, q, 1);
+         }));
     emit("eltwise_cmp_add", n, 59, time_per_call_us([&] {
            EltwiseCmpAdd(out.data(), a.data(), n, CMPINT::NLT, q / 2, 42);
          }));
     emit("eltwise_cmp_sub_mod", n, 59, time_per_call_us([&] {
            EltwiseCmpSubMod(out.data(), a.data(), n, q, CMPINT::NLT, q / 2,
                             42);
+         }));
+    auto big2 = random_vec(n, q * 2, 8);
+    emit("eltwise_reduce_mod_2to1", n, 59, time_per_call_us([&] {
+           EltwiseReduceMod(out.data(), big2.data(), n, q, 2, 1);
+         }));
+  }
+
+  // Vector-scalar add/sub (reference scalar overloads).
+  {
+    uint64_t n = 1ULL << 12;
+    uint64_t q = GeneratePrimes(1, 60, true, n)[0];
+    auto a = random_vec(n, q, 9);
+    std::vector<uint64_t> out(n);
+    uint64_t s = 1234567;
+    emit("eltwise_add_mod_scalar", n, 60, time_per_call_us([&] {
+           EltwiseAddMod(out.data(), a.data(), s, n, q);
+         }));
+    emit("eltwise_sub_mod_scalar", n, 60, time_per_call_us([&] {
+           EltwiseSubMod(out.data(), a.data(), s, n, q);
+         }));
+  }
+
+  // Montgomery family (the reference benches these AVX512 internals
+  // directly, bench-eltwise-reduce-mod.cpp:227-338, with its fixed
+  // 47-bit modulus and R = 2^46; our framework's family is R = 2^64 —
+  // same workload class, different Montgomery radix).
+  {
+    uint64_t n = 1ULL << 13;
+    uint64_t modulus = 67280421310725ULL;  // reference's bench modulus
+    int r = 46;
+    uint64_t inv_mod = HenselLemma2adicRoot(r, modulus);
+    uint64_t R2_mod_q = 42006526039321ULL;
+    auto a = random_vec(n, modulus, 10), b = random_vec(n, modulus, 11);
+    std::vector<uint64_t> out(n);
+    emit("eltwise_mont_reduce", n, 47, time_per_call_us([&] {
+           EltwiseMontReduceModAVX512<52, 46>(out.data(), a.data(),
+                                              b.data(), n, modulus,
+                                              inv_mod);
+         }));
+    emit("eltwise_mont_form_in", n, 47, time_per_call_us([&] {
+           EltwiseMontgomeryFormInAVX512<52, 46>(out.data(), a.data(),
+                                                 R2_mod_q, n, modulus,
+                                                 inv_mod);
+         }));
+    emit("eltwise_mont_form_out", n, 47, time_per_call_us([&] {
+           EltwiseMontgomeryFormOutAVX512<52, 46>(out.data(), a.data(), n,
+                                                  modulus, inv_mod);
          }));
   }
 
@@ -146,6 +198,28 @@ int main() {
          }));
     emit("inv_fft_like", n, 0, time_per_call_us([&] {
            fft.ComputeInverseFFTLike(out.data(), data.data(), &scale);
+         }));
+  }
+
+  // DyadicMultiply (ct x ct in NTT form, 4 x 50-bit RNS moduli) —
+  // matches the framework's dyadic_multiply row shape.
+  {
+    uint64_t n = 1ULL << 14;
+    uint64_t m = 4;
+    auto moduli = GeneratePrimes(m, 50, true, n);
+    std::vector<uint64_t> x(2 * m * n), y(2 * m * n), res(3 * m * n);
+    std::mt19937_64 rng(12);
+    for (uint64_t p = 0; p < 2; ++p)
+      for (uint64_t i = 0; i < m; ++i) {
+        std::uniform_int_distribution<uint64_t> dist(0, moduli[i] - 1);
+        for (uint64_t c = 0; c < n; ++c) {
+          x[(p * m + i) * n + c] = dist(rng);
+          y[(p * m + i) * n + c] = dist(rng);
+        }
+      }
+    emit("dyadic_multiply", n, 50, time_per_call_us([&] {
+           DyadicMultiply(res.data(), x.data(), y.data(), n, moduli.data(),
+                          m);
          }));
   }
 

@@ -51,6 +51,48 @@ def _barrett_reduce_128(t: U128, modulus: int) -> U64:
     return K.add_mod(folded, lo_red, modulus)
 
 
+def _barrett_reduce_128_rows(t: U128, row_moduli) -> U64:
+    """Stacked _barrett_reduce_128: t has a leading rows axis; row i is
+    reduced mod row_moduli[i] (per-row Barrett constants broadcast over
+    the trailing axes). Requires a shared modulus bit length (static
+    generalized-Barrett shift). Exact (not approx) quotients — the
+    fully-reduced output is bit-identical to the per-row singles."""
+    from ..limb import cond_sub64, mulhi64, mullo64, shr128_to64
+
+    n_bits = int(row_moduli[0]).bit_length()
+    assert all(int(q).bit_length() == n_bits for q in row_moduli)
+    extra = t.hi.hi.ndim - 1
+
+    def vec(vals):
+        a = np.array([int(v) for v in vals], dtype=np.uint64)
+        lim = to_limbs(a)
+        idx = (slice(None),) + (None,) * extra
+        return U64(lim.hi[idx], lim.lo[idx])
+
+    q_vec = vec(row_moduli)
+    q_barr = vec([nt.barrett_factor(1, 64, int(q)) for q in row_moduli])
+    r_mod = vec([(1 << 64) % int(q) for q in row_moduli])
+    mu = vec([(1 << (n_bits + 62)) // int(q) for q in row_moduli])
+    shift = n_bits - 2
+
+    def br(x):
+        q_hat = mulhi64(x, q_barr)
+        r = sub64(x, mullo64(q_hat, q_vec))
+        return cond_sub64(r, q_vec)
+
+    hi_red = br(t.hi)
+    lo_red = br(t.lo)
+    # folded = hi_red * (2^64 mod q) mod q — generalized Barrett with
+    # traced per-row operands (mirrors limb.mult_mod_barrett).
+    prod = mul64_wide(hi_red, r_mod)
+    c1 = shr128_to64(prod, shift)
+    q_hat = mulhi64(c1, mu)
+    z = sub64(prod.lo, mullo64(q_hat, q_vec))
+    folded = cond_sub64(z, q_vec)
+    s = add64(folded, lo_red)
+    return cond_sub64(s, q_vec)
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_key_switch(n: int, decomp_modulus_size: int,
                        key_modulus_size: int, rns_modulus_size: int,
@@ -127,24 +169,59 @@ def _jitted_key_switch(n: int, decomp_modulus_size: int,
             fwd = jnp_ntt.fwd_ntt(stacked, plans[qk], 4, 4)
             t_ops_for_i[i] = {j: get(fwd, j) for j in range(ds)}
 
-        t_poly_prod = [[None] * rns_modulus_size
-                       for _ in range(key_component_count)]
-        for i in range(rns_modulus_size):
-            key_index = (key_modulus_size - 1
-                         if i == decomp_modulus_size else i)
-            qk = moduli[key_index]
+        # Key-product accumulation + flush, STACKED: one broadcasted
+        # 128-bit multiply-accumulate over the (rns, ds, kc, n) block and
+        # one Barrett-128 flush over (rns, kc, n) with per-row traced
+        # moduli — the per-(i, k) singles are occupancy-starved at (n,)
+        # (the same restacking the NTT groups already had; requires all
+        # row moduli to share a bit length for the static Barrett shift,
+        # else falls back to the per-(i, k) loop).
+        kc = key_component_count
+        key_idx = [key_modulus_size - 1 if i == decomp_modulus_size else i
+                   for i in range(rns_modulus_size)]
+        row_moduli = [moduli[ki] for ki in key_idx]
+        t_poly_prod = [[None] * rns_modulus_size for _ in range(kc)]
+
+        def row_ops(i):
             t_ops = dict(t_ops_for_i.get(i, {}))
             if i < decomp_modulus_size:
                 t_ops[i] = get(t_target, i)  # original NTT form, < qi
-            acc = [U128(zeros64((n,)), zeros64((n,)))
-                   for _ in range(key_component_count)]
-            for j in range(decomp_modulus_size):
-                for k in range(key_component_count):
-                    key_poly = get(keys, j, k, key_index)
-                    prod = mul64_wide(t_ops[j], key_poly)
-                    acc[k] = add128(acc[k], prod)
-            for k in range(key_component_count):
-                t_poly_prod[k][i] = _barrett_reduce_128(acc[k], qk)
+            return [t_ops[j] for j in range(ds)]
+
+        if (len(set(q.bit_length() for q in row_moduli)) == 1
+                and rns_modulus_size > 1):
+            t_stack = stack_u64([stack_u64(row_ops(i))
+                                 for i in range(rns_modulus_size)])
+            keys_rows = stack_u64([
+                stack_u64([stack_u64([get(keys, j, k, key_idx[i])
+                                      for k in range(kc)])
+                           for j in range(ds)])
+                for i in range(rns_modulus_size)])  # (rns, ds, kc, n)
+            t_b = U64(t_stack.hi[:, :, None, :], t_stack.lo[:, :, None, :])
+            prods = mul64_wide(t_b, keys_rows)      # U128 (rns, ds, kc, n)
+            acc = U128(U64(prods.hi.hi[:, 0], prods.hi.lo[:, 0]),
+                       U64(prods.lo.hi[:, 0], prods.lo.lo[:, 0]))
+            for j in range(1, ds):
+                acc = add128(acc, U128(
+                    U64(prods.hi.hi[:, j], prods.hi.lo[:, j]),
+                    U64(prods.lo.hi[:, j], prods.lo.lo[:, j])))
+            flushed = _barrett_reduce_128_rows(acc, row_moduli)
+            for i in range(rns_modulus_size):
+                for k in range(kc):
+                    t_poly_prod[k][i] = get(flushed, i, k)
+        else:
+            for i in range(rns_modulus_size):
+                qk = row_moduli[i]
+                t_ops = row_ops(i)
+                acc = [U128(zeros64((n,)), zeros64((n,)))
+                       for _ in range(kc)]
+                for j in range(decomp_modulus_size):
+                    for k in range(kc):
+                        key_poly = get(keys, j, k, key_idx[i])
+                        prod = mul64_wide(t_ops[j], key_poly)
+                        acc[k] = add128(acc[k], prod)
+                for k in range(kc):
+                    t_poly_prod[k][i] = _barrett_reduce_128(acc[k], qk)
 
         # Mod-down: fold the key modulus component into each qi.
         qk = moduli[key_modulus_size - 1]

@@ -352,10 +352,16 @@ def test_df32_primitives():
 
 def _run_key_switch_case(n, ds, kc, bits=49, seed=21):
     """Shared driver: random config vs the big-int oracle (production-
-    scale sweep mirroring the reference's test-key-switch.cpp matrix)."""
+    scale sweep mirroring the reference's test-key-switch.cpp matrix).
+    `bits` may be a per-modulus sequence to force mixed bit lengths
+    (exercises the unstacked accumulation/flush fallback)."""
     kms = ds + 1
     rns = ds + 1
-    moduli = _moduli(kms, bits, n)
+    if isinstance(bits, (list, tuple)):
+        assert len(bits) == kms
+        moduli = [_moduli(1, b, n)[0] for b in bits]
+    else:
+        moduli = _moduli(kms, bits, n)
     rng = np.random.default_rng(seed)
     qk = moduli[-1]
     t_target = np.stack([rng.integers(0, q, n, np.uint64)
@@ -395,6 +401,13 @@ def test_key_switch_approx_flush_forced(monkeypatch):
 
     monkeypatch.setattr(K, "_approx", lambda: True)
     _run_key_switch_case(1 << 10, 2, 2, bits=49, seed=77)
+
+
+def test_key_switch_mixed_bit_moduli():
+    """Moduli with different bit lengths cannot share a static Barrett
+    shift, so the stacked accumulation/flush must fall back to the
+    per-(i, k) loop — same bit-exact contract."""
+    _run_key_switch_case(1 << 9, 2, 2, bits=(40, 41, 45), seed=5)
 
 
 def test_fft_like_single_split_planes(monkeypatch):
