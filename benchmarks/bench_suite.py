@@ -240,9 +240,12 @@ def main():
         _chained(lambda x, q=q: ek.cmp_sub_mod(x, q, "nle", q // 2, 7)),
         (a,), iters))
 
-    # Montgomery family (reference: bench-eltwise-reduce-mod.cpp Mont rows)
+    # Montgomery family (reference: bench-eltwise-reduce-mod.cpp Mont
+    # rows; its fixed bench modulus is 47-bit — match that width so the
+    # baseline column lines up. Radix differs by design: reference
+    # R=2^46, this framework R=2^64 — same workload class.)
     if not args.quick:
-        n, q_bits = 8192, 49
+        n, q_bits = 8192, 47
         q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
         a, b = rand_u64(elt_batch, n, q), rand_u64(elt_batch, n, q)
         record("eltwise_mont_form_in", n, q_bits, elt_batch, _time_dispatch(
@@ -476,9 +479,10 @@ def main():
               f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
               flush=True)
 
-    # ---- DyadicMultiply (ct x ct in NTT form; no reference bench —
-    # the reference benchmarks neither SEAL shim, benchmark/ has no
-    # bench-dyadic file — recorded without a baseline column) ----
+    # ---- DyadicMultiply (ct x ct in NTT form; the reference repo has
+    # no bench-dyadic registration, so the baseline row comes from our
+    # bench_reference.cpp harness calling the reference's DyadicMultiply
+    # at the same shape) ----
     if not args.quick:
         from hexl_tpu.experimental.dyadic import _jitted as _dyadic_jitted
         n_d, m_d = 1 << 14, 4
@@ -499,12 +503,18 @@ def main():
         fn = _chained(lambda c: dy_step(c, y_d))
         dt = _time_dispatch(fn, (x_d,), iters)
         us = dt / CHAIN * 1e6
-        rows.append({"kernel": "dyadic_multiply", "n": n_d, "q_bits": 50,
-                     "batch": m_d, "chain": CHAIN,
-                     "us_per_call": round(us, 4),
-                     "calls_per_sec": round(CHAIN / dt, 1)})
+        row = {"kernel": "dyadic_multiply", "n": n_d, "q_bits": 50,
+               "batch": m_d, "chain": CHAIN,
+               "us_per_call": round(us, 4),
+               "calls_per_sec": round(CHAIN / dt, 1)}
+        base = baseline.get(("dyadic_multiply", n_d, 50))
+        if base is not None:
+            row["ref_us_per_call"] = base
+            row["vs_baseline"] = round(base / us, 3)
+        rows.append(row)
         print(f"{'dyadic_multiply':24s} N={n_d:<6d} q=50b batch={m_d:<4d} "
-              f"{us:10.3f} us/call", flush=True)
+              f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
+              flush=True)
 
     # ---- Stacked multi-modulus (RNS) NTT vs per-modulus loop ----
     # The production RNS shape: one polynomial degree over k primes. The

@@ -17,7 +17,8 @@ from typing import Optional, Union
 import jax.numpy as jnp
 
 from .. import nt
-from ..limb import (U64, add64, cond_sub64, const64, ge64, gt64, le64, lt64,
+from ..limb import (U64, add64, cond_sub64_half, const64, ge64, gt64, le64,
+                    lt64,
                     mult_mod_barrett, mult_mod_barrett_approx, mul64_wide,
                     mullo64, mulhi64, montgomery_reduce_u128,
                     barrett_reduce_u64, barrett_reduce_u64_approx,
@@ -65,13 +66,13 @@ def compare(cmp: str, a: U64, bound: ScalarOrU64):
 def add_mod(a: U64, b: ScalarOrU64, modulus: int) -> U64:
     """(a + b) mod q; inputs in [0, q). Vector-vector or vector-scalar."""
     s = add64(a, _as_u64_operand(b))
-    return cond_sub64(s, const64(modulus))
+    return cond_sub64_half(s, const64(modulus))  # s < 2q
 
 
 def sub_mod(a: U64, b: ScalarOrU64, modulus: int) -> U64:
     """(a - b) mod q; inputs in [0, q). Vector-vector or vector-scalar."""
     d = add64(sub64(a, _as_u64_operand(b)), const64(modulus))
-    return cond_sub64(d, const64(modulus))
+    return cond_sub64_half(d, const64(modulus))  # d < 2q
 
 
 def mult_mod(a: U64, b: U64, modulus: int, input_mod_factor: int = 1) -> U64:
@@ -111,7 +112,7 @@ def fma_mod_preconned(arg1: U64, w: U64, wp: U64, arg3: Optional[U64],
                                      const64(2 * modulus))
     else:
         prod = shoup_mul_lazy(x, w, wp, modulus)
-    prod = cond_sub64(prod, const64(modulus))
+    prod = cond_sub64_half(prod, const64(modulus))  # prod < 2q
     if arg3 is None:
         return prod
     a3 = reduce_mod_lazy64(arg3, modulus, input_mod_factor)
@@ -131,11 +132,11 @@ def reduce_mod(a: U64, modulus: int, input_mod_factor: int,
         red = br(a, modulus, q_barr, output_mod_factor)
         return select64(ge64(a, const64(modulus)), red, a)
     if input_mod_factor == 2:
-        return cond_sub64(a, const64(modulus))
+        return cond_sub64_half(a, const64(modulus))
     if input_mod_factor == 4:
         if output_mod_factor == 1:
             return reduce_mod_lazy64(a, modulus, 4)
-        return cond_sub64(a, const64(2 * modulus))
+        return cond_sub64_half(a, const64(2 * modulus))
     raise ValueError("input_mod_factor must be 2, 4, or == modulus")
 
 
@@ -156,7 +157,7 @@ def cmp_sub_mod(a: U64, modulus: int, cmp: str, bound: ScalarOrU64,
     q_barr = nt.barrett_factor(1, 64, modulus)
     br = barrett_reduce_u64_approx if _approx() else barrett_reduce_u64
     red = br(a, modulus, q_barr, 1)
-    sub = cond_sub64(
+    sub = cond_sub64_half(
         add64(sub64(red, _as_u64_operand(diff)), const64(modulus)),
         const64(modulus))
     return select64(mask, sub, red)

@@ -57,7 +57,7 @@ def _barrett_reduce_128_rows(t: U128, row_moduli) -> U64:
     the trailing axes). Requires a shared modulus bit length (static
     generalized-Barrett shift). Exact (not approx) quotients — the
     fully-reduced output is bit-identical to the per-row singles."""
-    from ..limb import cond_sub64, mulhi64, mullo64, shr128_to64
+    from ..limb import cond_sub64_half, mulhi64, mullo64, shr128_to64
 
     n_bits = int(row_moduli[0]).bit_length()
     assert all(int(q).bit_length() == n_bits for q in row_moduli)
@@ -78,7 +78,7 @@ def _barrett_reduce_128_rows(t: U128, row_moduli) -> U64:
     def br(x):
         q_hat = mulhi64(x, q_barr)
         r = sub64(x, mullo64(q_hat, q_vec))
-        return cond_sub64(r, q_vec)
+        return cond_sub64_half(r, q_vec)  # r < 2q
 
     hi_red = br(t.hi)
     lo_red = br(t.lo)
@@ -88,9 +88,9 @@ def _barrett_reduce_128_rows(t: U128, row_moduli) -> U64:
     c1 = shr128_to64(prod, shift)
     q_hat = mulhi64(c1, mu)
     z = sub64(prod.lo, mullo64(q_hat, q_vec))
-    folded = cond_sub64(z, q_vec)
+    folded = cond_sub64_half(z, q_vec)  # z < 2q
     s = add64(folded, lo_red)
-    return cond_sub64(s, q_vec)
+    return cond_sub64_half(s, q_vec)  # s < 2q
 
 
 @functools.lru_cache(maxsize=None)

@@ -163,16 +163,38 @@ def cond_sub64(x: U64, q: U64) -> U64:
     return select64(ge64(x, q), d, x)
 
 
+_SIGN32 = np.uint32(0x80000000)
+
+
+def cond_sub64_half(x: U64, c: U64) -> U64:
+    """x >= c ? x - c : x, REQUIRING x < c + 2^63 and c <= 2^63.
+
+    Every lazy-reduction conditional subtract in this library is a range
+    HALVER (x < 2c with c a small multiple of q < 2^62), which satisfies
+    the contract, so the wrapped difference d = x - c mod 2^64 lands in
+    [0, 2^63) exactly when x >= c and in [2^63, 2^64) otherwise: one
+    sign-bit test replaces the three-comparison 64-bit >= of cond_sub64
+    (8 lane ops vs 13). Bit-identical to cond_sub64 under the contract.
+    """
+    d = sub64(x, c)
+    neg = d.hi >= _SIGN32
+    return U64(jnp.where(neg, x.hi, d.hi), jnp.where(neg, x.lo, d.lo))
+
+
 def reduce_mod_lazy64(x: U64, modulus: int, input_mod_factor: int) -> U64:
-    """x mod q given x < input_mod_factor*q, by conditional subtraction."""
+    """x mod q given x < input_mod_factor*q, by conditional subtraction.
+
+    Each step is a range halver (x < 2c), so the sign-test subtract
+    applies; IMF=8 additionally requires q < 2^61 (the reference's own
+    bound for 8q to fit 64 bits, eltwise-fma-mod.cpp)."""
     if input_mod_factor not in (1, 2, 4, 8):
         raise ValueError("input_mod_factor must be 1, 2, 4 or 8")
     if input_mod_factor >= 8:
-        x = cond_sub64(x, const64(4 * modulus))
+        x = cond_sub64_half(x, const64(4 * modulus))
     if input_mod_factor >= 4:
-        x = cond_sub64(x, const64(2 * modulus))
+        x = cond_sub64_half(x, const64(2 * modulus))
     if input_mod_factor >= 2:
-        x = cond_sub64(x, const64(modulus))
+        x = cond_sub64_half(x, const64(modulus))
     return x
 
 
@@ -307,7 +329,7 @@ def shoup_mul_lazy_approx(x: U64, w: U64, w_precon: U64, modulus: int,
     q_hat = mulhi64_approx(x, w_precon)
     q = const64(modulus)
     r = sub64(mullo64(x, w), mullo64(q_hat, q))
-    return cond_sub64(r, two_q)
+    return cond_sub64_half(r, two_q)  # r < 3q < 2*(2q): halver contract
 
 
 def add128(x: U128, y: U128) -> U128:
@@ -355,7 +377,7 @@ def barrett_reduce_u64(x: U64, modulus: int, q_barr: int,
     q_hat = mulhi64(x, const64(q_barr))
     r = sub64(x, mullo64(q_hat, const64(modulus)))
     if output_mod_factor == 1:
-        r = cond_sub64(r, const64(modulus))
+        r = cond_sub64_half(r, const64(modulus))  # r < 2q
     return r
 
 
@@ -369,9 +391,9 @@ def barrett_reduce_u64_approx(x: U64, modulus: int, q_barr: int,
     """
     q_hat = mulhi64_approx(x, const64(q_barr))
     r = sub64(x, mullo64(q_hat, const64(modulus)))
-    r = cond_sub64(r, const64(2 * modulus))
+    r = cond_sub64_half(r, const64(2 * modulus))  # r < 3q < 4q
     if output_mod_factor == 1:
-        r = cond_sub64(r, const64(modulus))
+        r = cond_sub64_half(r, const64(modulus))
     return r
 
 
@@ -394,7 +416,7 @@ def mult_mod_barrett(x: U64, y: U64, modulus: int) -> U64:
     c1 = shr128_to64(prod, shift)
     q_hat = mulhi64(c1, const64(mu))
     z = sub64(prod.lo, mullo64(q_hat, const64(modulus)))
-    return cond_sub64(z, const64(modulus))
+    return cond_sub64_half(z, const64(modulus))  # z < 2q
 
 
 def mult_mod_barrett_approx(x: U64, y: U64, modulus: int) -> U64:
@@ -416,8 +438,8 @@ def mult_mod_barrett_approx(x: U64, y: U64, modulus: int) -> U64:
     c1 = shr128_to64(prod, shift)
     q_hat = mulhi64_approx(c1, const64(mu))
     z = sub64(prod.lo, mullo64(q_hat, const64(modulus)))
-    z = cond_sub64(z, const64(2 * modulus))
-    return cond_sub64(z, const64(modulus))
+    z = cond_sub64_half(z, const64(2 * modulus))  # z < 3q < 4q
+    return cond_sub64_half(z, const64(modulus))
 
 
 def montgomery_reduce_u128(t: U128, modulus: int, r: int, inv_mod: int) -> U64:
@@ -434,7 +456,7 @@ def montgomery_reduce_u128(t: U128, modulus: int, r: int, inv_mod: int) -> U64:
     carry = lt64(lo_sum, t.lo).astype(_U32)
     s = add64(t.hi, mq.hi)
     s = add64_small(s, carry)
-    return cond_sub64(s, const64(modulus))
+    return cond_sub64_half(s, const64(modulus))  # s < 2q
 
 
 def coerce_limbs(x):

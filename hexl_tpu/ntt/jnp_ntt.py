@@ -23,13 +23,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..limb import (U64, add64, cond_sub64, const64, mullo64, mulhi64,
-                    mulhi64_approx6, reduce_mod_lazy64, sub64)
+from ..limb import (U64, add64, cond_sub64_half, const64, mullo64,
+                    mulhi64, mulhi64_approx6, reduce_mod_lazy64, sub64)
 from .plan import LANES, MIN_2D_N, NttPlan
 
 # Largest modulus the lean approximate butterflies are valid for: their
 # raw Shoup product lies in [0, 8q), which must fit in 64 bits.
 LEAN_APPROX_MAX_Q = 1 << 61
+
+# Largest modulus for the widened-invariant lean16 scheme: the forward
+# body carries values in [0, 16q) (ONE conditional subtract per
+# butterfly), so 16q must fit in 64 bits.
+LEAN16_MAX_Q = 1 << 60
 
 
 def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
@@ -51,19 +56,19 @@ def _shoup_approx(x: U64, w: U64, wp: U64, q: U64, two_q: U64) -> U64:
     q_hat = mulhi64_approx6(x, wp)
     r = sub64(mullo64(x, w), mullo64(q_hat, q))
     four_q = add64(two_q, two_q)  # stage-invariant; hoisted by XLA
-    return cond_sub64(cond_sub64(r, four_q), two_q)
+    return cond_sub64_half(cond_sub64_half(r, four_q), two_q)
 
 
 def _fwd_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
     """Harvey forward butterfly: inputs [0,4q) -> outputs [0,4q)."""
-    tx = cond_sub64(xs, two_q)
+    tx = cond_sub64_half(xs, two_q)
     t = _shoup(ys, w, wp, q)
     return add64(tx, t), sub64(add64(tx, two_q), t)
 
 
 def _inv_butterfly(xs: U64, ys: U64, w: U64, wp: U64, q: U64, two_q: U64):
     """Harvey inverse butterfly: inputs [0,2q) -> outputs [0,2q)."""
-    tx = cond_sub64(add64(xs, ys), two_q)
+    tx = cond_sub64_half(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
     return tx, _shoup(ty, w, wp, q)
 
@@ -72,7 +77,7 @@ def _fwd_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
                           two_q: U64):
     """Forward butterfly using the lean approximate Shoup multiply
     (valid for q < LEAN_APPROX_MAX_Q)."""
-    tx = cond_sub64(xs, two_q)
+    tx = cond_sub64_half(xs, two_q)
     t = _shoup_approx(ys, w, wp, q, two_q)
     return add64(tx, t), sub64(add64(tx, two_q), t)
 
@@ -81,9 +86,62 @@ def _inv_butterfly_approx(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
                           two_q: U64):
     """Inverse butterfly using the lean approximate Shoup multiply
     (valid for q < LEAN_APPROX_MAX_Q)."""
-    tx = cond_sub64(add64(xs, ys), two_q)
+    tx = cond_sub64_half(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
     return tx, _shoup_approx(ty, w, wp, q, two_q)
+
+
+def _fwd_butterfly_lean16(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                          two_q: U64):
+    """Forward butterfly on the widened [0,16q) invariant (q < 2^60):
+    ONE range-halving conditional subtract per butterfly.
+
+    The Shoup quotient bound holds for ANY 64-bit multiplicand (the
+    preconditioning error x*frac(w*2^64/q)/2^64 is < 1 for all x < 2^64),
+    so the multiply input needs no range control at all; with the e<=6
+    approximate quotient its raw output lies in [0, 8q). Only the X leg
+    is halved, [0,16q) -> [0,8q), and both outputs land back in [0,16q).
+    Bodies using this scheme must reduce the final output
+    [0,16q) -> [0,4q) to restore the OMF=4 contract (two halvers, paid
+    once per transform instead of twice per butterfly)."""
+    four_q = add64(two_q, two_q)          # stage-invariant; hoisted
+    eight_q = add64(four_q, four_q)
+    tx = cond_sub64_half(xs, eight_q)              # [0,16q) -> [0,8q)
+    q_hat = mulhi64_approx6(ys, wp)
+    t = sub64(mullo64(ys, w), mullo64(q_hat, q))   # [0,8q)
+    return add64(tx, t), sub64(add64(tx, eight_q), t)
+
+
+def _inv_butterfly_lean4(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                         two_q: U64):
+    """Inverse butterfly on the widened [0,4q) invariant (q < 2^61):
+    TWO range-halving conditional subtracts (the classic form needs
+    three). The Shoup input ty needs no reduction (any u64 is valid);
+    the raw e<=6 product in [0,8q) is halved once to [0,4q)."""
+    four_q = add64(two_q, two_q)
+    tx = cond_sub64_half(add64(xs, ys), four_q)    # [0,8q) -> [0,4q)
+    ty = sub64(add64(xs, four_q), ys)              # (0,8q)
+    q_hat = mulhi64_approx6(ty, wp)
+    r = sub64(mullo64(ty, w), mullo64(q_hat, q))   # [0,8q)
+    return tx, cond_sub64_half(r, four_q)          # [0,4q)
+
+
+def _bflys3(lean_ok: bool, lean16_ok: bool):
+    """(fwd_bfly, inv_bfly, scheme) for the XLA bodies.
+
+    scheme: 'lean16' (fwd invariant [0,16q) / inv [0,4q), q < 2^60),
+    'lean' (the round-3 e<=6 butterflies with classic [0,4q)/[0,2q)
+    invariants, q < 2^61), or 'exact' (bit-exact Harvey oracle path).
+    The widened invariants change lazy-range values (mod-q equal), same
+    caveat as 'lean'; bodies must apply the matching final fixups."""
+    from .. import config as _config
+    if not _config.approx_butterflies():
+        return _fwd_butterfly, _inv_butterfly, "exact"
+    if lean16_ok:
+        return _fwd_butterfly_lean16, _inv_butterfly_lean4, "lean16"
+    if lean_ok:
+        return _fwd_butterfly_approx, _inv_butterfly_approx, "lean"
+    return _fwd_butterfly, _inv_butterfly, "exact"
 
 
 def _bflys(lean_ok: bool = False):
@@ -183,12 +241,25 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
 
 def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return fwd_body_small(x, q, two_q, plan.n, plan.rop_dev, plan.prop_dev,
-                          lean_ok=plan.q < LEAN_APPROX_MAX_Q)
+                          lean_ok=plan.q < LEAN_APPROX_MAX_Q,
+                          lean16_ok=plan.q < LEAN16_MAX_Q)
+
+
+def _fwd_fixup(x: U64, scheme: str, two_q: U64) -> U64:
+    """Restore the forward OMF=4 output contract [0,4q) from the body's
+    internal invariant ([0,16q) under lean16): two range halvers, paid
+    once per transform."""
+    if scheme != "lean16":
+        return x
+    four_q = add64(two_q, two_q)
+    eight_q = add64(four_q, four_q)
+    return cond_sub64_half(cond_sub64_half(x, eight_q), four_q)
 
 
 def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
-                   prop_dev: U64, lean_ok: bool = False) -> U64:
-    fwd_bfly, _ = _bflys(lean_ok)
+                   prop_dev: U64, lean_ok: bool = False,
+                   lean16_ok: bool = False) -> U64:
+    fwd_bfly, _, scheme = _bflys3(lean_ok, lean16_ok)
     m = 1
     while m < n:
         t = n // (2 * m)
@@ -200,7 +271,7 @@ def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
         nx, ny = fwd_bfly(xs, ys, w, wp, q, two_q)
         x = join(nx, ny)
         m *= 2
-    return x
+    return _fwd_fixup(x, scheme, two_q)
 
 
 def _splitk(x: U64, axis: int, m: int, k: int, part: int):
@@ -290,7 +361,8 @@ def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
     return fwd_body_2d(x, q, two_q, plan.fwd_a, plan.fwd_b, plan.rows,
                        plan.tiles, plan.lane_l, radix,
-                       lean_ok=plan.q < LEAN_APPROX_MAX_Q)
+                       lean_ok=plan.q < LEAN_APPROX_MAX_Q,
+                       lean16_ok=plan.q < LEAN16_MAX_Q)
 
 
 def _norm_radix(radix):
@@ -302,7 +374,7 @@ def _norm_radix(radix):
 
 def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
                 tiles: int, lane_l: int, radix,
-                lean_ok: bool = False) -> U64:
+                lean_ok: bool = False, lean16_ok: bool = False) -> U64:
     """Table-parameterized 2D forward body: q/two_q and the stage tables
     are operands (traced under vmap for the stacked multi-modulus path,
     ntt/rns.py), everything else static. `radix` is the per-phase stage
@@ -315,7 +387,7 @@ def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     row_axis = x.lo.ndim - 2
-    fwd_bfly, _ = _bflys(lean_ok)
+    fwd_bfly, _, scheme = _bflys3(lean_ok, lean16_ok)
     # Phase A: strides >= 128 pair row blocks.
     stages_a = list(fwd_a)
     i = 0
@@ -365,6 +437,7 @@ def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
                                    fwd_bfly))
         i += log_k
     x = _untranspose_tiles(x, rows)
+    x = _fwd_fixup(x, scheme, two_q)
     return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
 
@@ -387,7 +460,7 @@ def inv_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
     else:
         out = _inv_2d(x, plan, q, two_q)
     if output_mod_factor == 1:
-        out = cond_sub64(out, q)
+        out = cond_sub64_half(out, q)  # out < 2q
     return out
 
 
@@ -396,8 +469,24 @@ def _final_inv_stage_fin(xs: U64, ys: U64, fin, q: U64,
     """Last butterfly stage fused with x N^{-1}; `fin` is the traced
     4-tuple (inv_n, inv_n_precon, inv_n_w, inv_n_w_precon) as U64s."""
     inv_n, inv_n_precon, inv_n_w, inv_n_w_precon = fin
-    tx = cond_sub64(add64(xs, ys), two_q)
+    tx = cond_sub64_half(add64(xs, ys), two_q)
     ty = sub64(add64(xs, two_q), ys)
+    nx = _shoup(tx, inv_n, inv_n_precon, q)
+    ny = _shoup(ty, inv_n_w, inv_n_w_precon, q)
+    return nx, ny
+
+
+def _final_inv_stage_lean4(xs: U64, ys: U64, fin, q: U64,
+                           two_q: U64) -> tuple:
+    """Final N^{-1}-fused stage for the lean4 scheme (inputs [0,4q)).
+
+    Exact Shoup multiplies land in [0,2q) for ANY 64-bit input, so the
+    sums need no range control at all; only ty's additive constant must
+    cover the widened ys range (4q instead of 2q)."""
+    inv_n, inv_n_precon, inv_n_w, inv_n_w_precon = fin
+    four_q = add64(two_q, two_q)
+    tx = add64(xs, ys)                      # < 8q; Shoup takes any u64
+    ty = sub64(add64(xs, four_q), ys)
     nx = _shoup(tx, inv_n, inv_n_precon, q)
     ny = _shoup(ty, inv_n_w, inv_n_w_precon, q)
     return nx, ny
@@ -417,12 +506,16 @@ def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
 def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     return inv_body_small(x, q, two_q, plan.n, plan.irop_dev,
                           plan.pirop_dev, _plan_fin(plan),
-                          lean_ok=plan.q < LEAN_APPROX_MAX_Q)
+                          lean_ok=plan.q < LEAN_APPROX_MAX_Q,
+                          lean16_ok=plan.q < LEAN16_MAX_Q)
 
 
 def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
-                   pirop_dev: U64, fin, lean_ok: bool = False) -> U64:
-    _, inv_bfly = _bflys(lean_ok)
+                   pirop_dev: U64, fin, lean_ok: bool = False,
+                   lean16_ok: bool = False) -> U64:
+    _, inv_bfly, scheme = _bflys3(lean_ok, lean16_ok)
+    fin_stage = (_final_inv_stage_lean4 if scheme == "lean16"
+                 else _final_inv_stage_fin)
     axis = x.lo.ndim - 1
     root_index = 1
     t = 1
@@ -440,7 +533,7 @@ def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
         root_index += m
         t *= 2
     xs, ys, join = _split2(x, axis, 1, n // 2)
-    nx, ny = _final_inv_stage_fin(xs, ys, fin, q, two_q)
+    nx, ny = fin_stage(xs, ys, fin, q, two_q)
     return join(nx, ny)
 
 
@@ -449,18 +542,21 @@ def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
     return inv_body_2d(x, q, two_q, plan.inv_b, plan.inv_a, _plan_fin(plan),
                        plan.rows, plan.tiles, plan.lane_l, radix,
-                       lean_ok=plan.q < LEAN_APPROX_MAX_Q)
+                       lean_ok=plan.q < LEAN_APPROX_MAX_Q,
+                       lean16_ok=plan.q < LEAN16_MAX_Q)
 
 
 def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
                 tiles: int, lane_l: int, radix,
-                lean_ok: bool = False) -> U64:
+                lean_ok: bool = False, lean16_ok: bool = False) -> U64:
     """Table-parameterized 2D inverse body (see fwd_body_2d)."""
     radix_a, radix_b = _norm_radix(radix)
     shape = x.lo.shape
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
-    _, inv_bfly = _bflys(lean_ok)
+    _, inv_bfly, scheme = _bflys3(lean_ok, lean16_ok)
+    fin_stage = (_final_inv_stage_lean4 if scheme == "lean16"
+                 else _final_inv_stage_fin)
     # Phase B first (strides 1..64) in the transposed layout.
     x = _transpose_tiles(x, tiles, lane_l)
     c_axis = x.lo.ndim - 2
@@ -519,7 +615,7 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
     sl_y[row_axis] = slice(half, rows)
     xs = U64(x.hi[tuple(sl_x)], x.lo[tuple(sl_x)])
     ys = U64(x.hi[tuple(sl_y)], x.lo[tuple(sl_y)])
-    nx, ny = _final_inv_stage_fin(xs, ys, fin, q, two_q)
+    nx, ny = fin_stage(xs, ys, fin, q, two_q)
     hi = jnp.concatenate([nx.hi, ny.hi], axis=row_axis)
     lo = jnp.concatenate([nx.lo, ny.lo], axis=row_axis)
     return U64(hi.reshape(shape), lo.reshape(shape))

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..limb import U64, cond_sub64, from_limbs, to_limbs
+from ..limb import U64, cond_sub64_half, from_limbs, to_limbs
 from . import jnp_ntt
-from .jnp_ntt import LEAN_APPROX_MAX_Q
+from .jnp_ntt import LEAN16_MAX_Q, LEAN_APPROX_MAX_Q
 from .plan import MIN_2D_N, get_plan
 
 
@@ -118,14 +118,15 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         skel_a, skel_b = _skeleton(rplan.fwd_a), _skeleton(rplan.fwd_b)
 
         lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
+        lean16_ok = max(rplan.moduli) < LEAN16_MAX_Q
 
         def body(xi, qi, tqi, ta, tb):
             out = jnp_ntt.fwd_body_2d(
                 xi, qi, tqi, _rebuild(skel_a, ta), _rebuild(skel_b, tb),
                 rplan.rows, rplan.tiles, rplan.lane_l, radix,
-                lean_ok=lean_ok)
+                lean_ok=lean_ok, lean16_ok=lean16_ok)
             if output_mod_factor == 1:
-                out = cond_sub64(cond_sub64(out, tqi), qi)
+                out = cond_sub64_half(cond_sub64_half(out, tqi), qi)
             return out
 
         return jax.vmap(body)(x, rplan.q_vec, rplan.two_q_vec,
@@ -134,9 +135,10 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
     def body(xi, qi, tqi, rop, prop):
         out = jnp_ntt.fwd_body_small(
             xi, qi, tqi, rplan.n, rop, prop,
-            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q)
+            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q,
+            lean16_ok=max(rplan.moduli) < LEAN16_MAX_Q)
         if output_mod_factor == 1:
-            out = cond_sub64(cond_sub64(out, tqi), qi)
+            out = cond_sub64_half(cond_sub64_half(out, tqi), qi)
         return out
 
     return jax.vmap(body)(x, rplan.q_vec, rplan.two_q_vec,
@@ -156,14 +158,15 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         skel_b, skel_a = _skeleton(rplan.inv_b), _skeleton(rplan.inv_a)
 
         lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
+        lean16_ok = max(rplan.moduli) < LEAN16_MAX_Q
 
         def body(xi, qi, tqi, tb, ta, fin):
             out = jnp_ntt.inv_body_2d(
                 xi, qi, tqi, _rebuild(skel_b, tb), _rebuild(skel_a, ta),
                 fin, rplan.rows, rplan.tiles, rplan.lane_l, radix,
-                lean_ok=lean_ok)
+                lean_ok=lean_ok, lean16_ok=lean16_ok)
             if output_mod_factor == 1:
-                out = cond_sub64(out, qi)
+                out = cond_sub64_half(out, qi)
             return out
 
         return jax.vmap(body)(x, rplan.q_vec, rplan.two_q_vec,
@@ -173,9 +176,10 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
     def body(xi, qi, tqi, irop, pirop, fin):
         out = jnp_ntt.inv_body_small(
             xi, qi, tqi, rplan.n, irop, pirop, fin,
-            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q)
+            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q,
+            lean16_ok=max(rplan.moduli) < LEAN16_MAX_Q)
         if output_mod_factor == 1:
-            out = cond_sub64(out, qi)
+            out = cond_sub64_half(out, qi)
         return out
 
     return jax.vmap(body)(x, rplan.q_vec, rplan.two_q_vec,

@@ -207,6 +207,71 @@ def test_lean_approx_butterfly_ranges_and_values():
             got % np.uint64(q), (x.astype(object) * w % q).astype(np.uint64))
 
 
+def test_cond_sub64_half():
+    """The sign-test conditional subtract is bit-identical to cond_sub64
+    on its whole contract domain x < 2c (adversarial boundaries: x = 0,
+    c-1, c, 2c-1; c up to 2^62 and down to 1)."""
+    rng = np.random.default_rng(3)
+    for c in [1, 2, (1 << 31) - 1, 1 << 31, (1 << 32) + 5,
+              (1 << 59) + 9, (1 << 61) - 1, 1 << 62]:
+        x = rng.integers(0, 2 * c, size=500, dtype=np.uint64)
+        x[:4] = [0, c - 1, c, 2 * c - 1]
+        lx, lc = limb.to_limbs(x), limb.const64(c)
+        got = limb.from_limbs(
+            jax.jit(lambda v: limb.cond_sub64_half(v, lc))(lx))
+        exp = limb.from_limbs(limb.cond_sub64(lx, lc))
+        np.testing.assert_array_equal(got, exp)
+        np.testing.assert_array_equal(got, np.where(x >= c, x - c, x))
+
+
+def test_lean16_butterflies_ranges_and_values():
+    """The widened-invariant butterflies: forward maps [0,16q) inputs to
+    [0,16q) outputs, inverse maps [0,4q) to [0,4q); both agree with the
+    textbook butterfly mod q at every regime boundary q < 2^60."""
+    from hexl_tpu.ntt.jnp_ntt import (_fwd_butterfly_lean16,
+                                      _inv_butterfly_lean4)
+    for q_bits in (29, 49, 59, 60):
+        q = nt.generate_primes(1, q_bits, True)[0]
+        if q >= (1 << 60):
+            continue
+        rng = np.random.default_rng(q_bits + 1)
+        w = int(rng.integers(1, q))
+        wp = nt.barrett_factor(w, 64, q)
+        args = (limb.const64(w), limb.const64(wp), limb.const64(q),
+                limb.const64(2 * q))
+
+        xs = rng.integers(0, 16 * q, size=500, dtype=np.uint64)
+        ys = rng.integers(0, 16 * q, size=500, dtype=np.uint64)
+        xs[:2], ys[:2] = [16 * q - 1, 0], [0, 16 * q - 1]
+        nx, ny = jax.jit(lambda a, b: _fwd_butterfly_lean16(
+            a, b, *args))(limb.to_limbs(xs), limb.to_limbs(ys))
+        nx, ny = limb.from_limbs(nx), limb.from_limbs(ny)
+        assert nx.max() < 16 * q and ny.max() < 16 * q
+        wy = ys.astype(object) * w
+        np.testing.assert_array_equal(
+            nx % np.uint64(q),
+            ((xs.astype(object) + wy) % q).astype(np.uint64))
+        np.testing.assert_array_equal(
+            ny % np.uint64(q),
+            ((xs.astype(object) - wy) % q).astype(np.uint64))
+
+        xs = rng.integers(0, 4 * q, size=500, dtype=np.uint64)
+        ys = rng.integers(0, 4 * q, size=500, dtype=np.uint64)
+        xs[:2], ys[:2] = [4 * q - 1, 0], [0, 4 * q - 1]
+        nx, ny = jax.jit(lambda a, b: _inv_butterfly_lean4(
+            a, b, *args))(limb.to_limbs(xs), limb.to_limbs(ys))
+        nx, ny = limb.from_limbs(nx), limb.from_limbs(ny)
+        assert nx.max() < 4 * q and ny.max() < 4 * q
+        np.testing.assert_array_equal(
+            nx % np.uint64(q),
+            ((xs.astype(object) + ys.astype(object)) % q
+             ).astype(np.uint64))
+        np.testing.assert_array_equal(
+            ny % np.uint64(q),
+            ((xs.astype(object) - ys.astype(object)) * w % q
+             ).astype(np.uint64))
+
+
 def test_shoup_mul_lazy_approx():
     q = nt.generate_primes(1, 60, True)[0]
     rng = np.random.default_rng(0)

@@ -419,6 +419,40 @@ def test_approx_butterflies_forced_on_cpu(monkeypatch):
     np.testing.assert_array_equal(back, x)
 
 
+# Lean-scheme selection boundaries: q_bits 59/60 pick the widened
+# [0,16q)-invariant lean16 butterflies (q < 2^60), 61 the classic-range
+# lean pair (q < 2^61; the exact forms above that are the default-path
+# oracle tests' coverage). Contract: OMF=1/roundtrip bit-identical to
+# the oracle; lazy outputs in-range and mod-q equal.
+@pytest.mark.parametrize("n", [64, 4096])
+@pytest.mark.parametrize("q_bits", [59, 60, 61])
+def test_lean16_scheme_forced_on_cpu(n, q_bits, monkeypatch):
+    from hexl_tpu import config as _cfg
+    from hexl_tpu import ref
+
+    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+    ntt = NTT(n, q)
+    rng = np.random.default_rng(n + q_bits)
+    x = rng.integers(0, q, size=n, dtype=np.uint64)
+    exp1 = ref.fwd_ntt_radix2(x, q, ntt.plan.rop, ntt.plan.prop, 1, 1)
+
+    monkeypatch.setattr(_cfg, "approx_butterflies", lambda: True)
+    got1 = np.asarray(ntt.forward(x, 1, 1))
+    np.testing.assert_array_equal(got1, exp1)
+    got4 = np.asarray(ntt.forward(x, 1, 4))
+    assert got4.max() < 4 * q
+    np.testing.assert_array_equal(got4 % q, exp1)
+    # IMF=4 lazy input (the key-switch chain shape) through the widened
+    # invariant: x + 3q < 4q is congruent to x, so OMF=1 output must be
+    # bit-identical to the plain transform of x.
+    x4 = np.asarray(ntt.forward(x + np.uint64(3) * np.uint64(q), 4, 1))
+    np.testing.assert_array_equal(x4, exp1)
+    back2 = np.asarray(ntt.inverse(got1, 1, 2))
+    assert back2.max() < 2 * q
+    np.testing.assert_array_equal(back2 % q, x)
+    np.testing.assert_array_equal(np.asarray(ntt.inverse(got1, 1, 1)), x)
+
+
 # Regime-boundary parity grid (reference test density: N in {2^1..2^13} x
 # modulus bits {27..33, 48..51, 58..60}, test/include/test/test-ntt-util.
 # hpp:131-159). Sampled budget-aware: every bit-width at the regime
