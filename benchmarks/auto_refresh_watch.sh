@@ -1,14 +1,14 @@
 #!/bin/bash
 # Waits for the tunnel probe's up-flag, gives the probe loop a minute to
 # notice it and exit (only one TPU process at a time), then runs the
-# round-2 measurement refresh. Detached via nohup; progress in
-# benchmarks/refresh_round2.log, completion marker below.
+# measurement refresh. Detached via nohup; progress in
+# benchmarks/refresh.log, completion marker below.
 cd "$(dirname "$0")/.."
 rm -f benchmarks/auto_refresh.done
 for i in $(seq 1 600); do
   if [ -f benchmarks/tunnel_up.flag ]; then
     sleep 60
-    bash benchmarks/refresh_round2.sh
+    bash benchmarks/refresh.sh
     echo "rc=$? $(date -u +%H:%M:%S)" > benchmarks/auto_refresh.done
     exit 0
   fi
