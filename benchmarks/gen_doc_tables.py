@@ -98,11 +98,58 @@ def summary_lines(rows, meta):
         f"{meta.get('rep_stat', '?')}.")
 
 
+# Scan-chained dependent lane-op issue rate measured by
+# benchmarks/vpu_probe.py on this chip (docs/ROADMAP.md "Ceiling
+# analysis") — the denominator for the MFU figure below.
+VPU_LANE_OPS_PER_SEC = 3.8e12
+# Cost-model figures for one lean16 butterfly (hexl_tpu/ntt/jnp_ntt.py
+# _fwd_butterfly_lean16 + limb.mulhi64_approx6/mullo64): 24 native u32
+# lane multiplies (10 quotient + 2x7 low-64 products), ~110 HLO lane
+# ops total. Matches utils/profiling.ntt_cost's per-butterfly multiply
+# count for the approx 2-limb regime.
+MULS_PER_BFLY = 24
+LANE_OPS_PER_BFLY = 110
+
+
+def mfu_summary(rows):
+    import math
+    fwd = next((r for r in rows if r["kernel"] == "fwd_ntt"
+                and r["n"] == 16384 and r["q_bits"] == 60), None)
+    inv = next((r for r in rows if r["kernel"] == "inv_ntt"
+                and r["n"] == 16384 and r["q_bits"] == 60), None)
+    if not fwd or not inv:
+        return "(headline rows missing)"
+    n = 16384
+    pair_us = fwd["us_per_call"] + inv["us_per_call"]
+    pairs_per_sec = 1e6 / pair_us
+    bfly_per_pair = 2 * (n // 2) * int(math.log2(n))
+    bfly_rate = pairs_per_sec * bfly_per_pair
+    mul_rate = bfly_rate * MULS_PER_BFLY
+    lane_rate = bfly_rate * LANE_OPS_PER_BFLY
+    mfu = lane_rate / VPU_LANE_OPS_PER_SEC
+    return (
+        f"Headline cost-model utilization (N=2^14, 60-bit, from the table "
+        f"above): {pair_us:.2f} us/pair = {pairs_per_sec:,.0f} pairs/s x "
+        f"{bfly_per_pair:,} butterflies/pair = **{bfly_rate/1e9:.1f} G "
+        f"butterflies/s**. At {MULS_PER_BFLY} native u32 lane multiplies "
+        f"and ~{LANE_OPS_PER_BFLY} HLO lane ops per lean16 butterfly "
+        f"(utils/profiling.ntt_cost) that is {mul_rate/1e9:,.0f} G "
+        f"u32-mul/s and {lane_rate/1e12:.2f} T lane-ops/s — "
+        f"**~{100*mfu:.0f}% of the {VPU_LANE_OPS_PER_SEC/1e12:.1f} T "
+        f"lane-ops/s dependent issue rate** measured by "
+        f"benchmarks/vpu_probe.py on this chip. The transform is "
+        f"compute-bound (docs/ROADMAP.md): the remaining headroom is "
+        f"butterfly op count, and the quotient-side error budget is "
+        f"exhausted at e<=6, so the residual mass is the three exact "
+        f"32x32 high halves the low-64 products require.")
+
+
 GENERATORS = {
     "ntt-table": lambda d: ntt_table(d["rows"]),
     "eltwise-table": lambda d: eltwise_table(d["rows"]),
     "composite-table": lambda d: composite_table(d["rows"]),
     "summary": lambda d: summary_lines(d["rows"], d["meta"]),
+    "mfu": lambda d: mfu_summary(d["rows"]),
 }
 
 
