@@ -258,6 +258,17 @@ def main():
         record("eltwise_mont_reduce", n, q_bits, elt_batch, _time_dispatch(
             _chained(lambda x, y, q=q: ek.montgomery_mult_reduce(x, y, q),
                      (b,)), (a, ), iters))
+        # Full Montgomery round trip form_in -> REDC-mult -> form_out
+        # (analogue of the reference's in/out-Montgomery-form variants,
+        # bench-eltwise-reduce-mod.cpp BM_EltwiseReduceModInOutMontForm* /
+        # BM_EltwiseReduceModMontFormIn*; no baseline row — breadth only).
+        b_mont = ek.montgomery_form_in(b, q)
+        record("eltwise_mont_inout_roundtrip", n, q_bits, elt_batch,
+               _time_dispatch(
+                   _chained(lambda x, y, q=q: ek.montgomery_form_out(
+                       ek.montgomery_mult_reduce(
+                           ek.montgomery_form_in(x, q), y, q), q),
+                       (b_mont,)), (a,), iters))
 
     # Vector-scalar add/sub + FMA-with-addend + reduce-mod range variants
     # (reference registrations: bench-eltwise-add-mod.cpp scalar rows,
@@ -428,6 +439,33 @@ def main():
             print(f"{'fwd+inv_fft_like_pair':24s} N={n:<6d} q=-   "
                   f"batch=32   {us:10.3f} us/call  "
                   f"{row.get('vs_baseline', '')}", flush=True)
+
+            # Per-direction scaled rows (reference registrations
+            # BM_Fwd/InvFFTLikeAVX512InPlaceScaled; the compiled baseline's
+            # fwd_fft_like/inv_fft_like rows pass a fused scale —
+            # bench_reference.cpp:195-201). scalar=1/n bounds the chained
+            # values (|FFT(x)|_inf <= n |x|_inf), so the scan stays finite.
+            from hexl_tpu.experimental.df32 import df_from_f64
+            sc = df_from_f64(1.0 / n)
+            for name, body in (
+                    ("fwd_fft_like", lambda c, ff=fft, s=sc:
+                        ff.df_fwd_body(c, scalar=s)),
+                    ("inv_fft_like", lambda c, ff=fft, s=sc:
+                        ff.df_inv_body(c, scalar=s))):
+                fn1 = _chained(body)
+                dt1 = _time_dispatch(fn1, (zc,), iters)
+                us1 = dt1 / (32 * CHAIN) * 1e6
+                base = baseline.get((name, n, 0))
+                row1 = {"kernel": name, "n": n, "q_bits": 0, "batch": 32,
+                        "chain": CHAIN, "us_per_call": round(us1, 4),
+                        "calls_per_sec": round(32 * CHAIN / dt1, 1)}
+                if base:
+                    row1["ref_us_per_call"] = base
+                    row1["vs_baseline"] = round(base / us1, 3)
+                rows.append(row1)
+                print(f"{name:24s} N={n:<6d} q=-   batch=32   "
+                      f"{us1:10.3f} us/call  "
+                      f"{row1.get('vs_baseline', '')}", flush=True)
 
     # ---- KeySwitch (reference: experimental/seal, production shape) ----
     if not args.quick:

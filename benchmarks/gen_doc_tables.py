@@ -66,7 +66,8 @@ def composite_table(rows):
            "| TPU / Xeon |",
            "|---|---|---|---|---|---|"]
     for r in rows:
-        if r["kernel"] in ("fwd+inv_fft_like_pair", "key_switch",
+        if r["kernel"] in ("fwd+inv_fft_like_pair", "fwd_fft_like",
+                           "inv_fft_like", "key_switch",
                            "dyadic_multiply", "poly_mult_pipeline",
                            "rns_poly_mult_4x", "rns_fwd_ntt_stacked",
                            "fwd+inv_ntt32_pair"):
