@@ -442,6 +442,33 @@ def mult_mod_barrett_approx(x: U64, y: U64, modulus: int) -> U64:
     return cond_sub64_half(z, const64(modulus))
 
 
+def mult_mod_barrett_traced(x: U64, y: U64, q: U64, two_q: U64, mu: U64,
+                            shift: int, approx: bool) -> U64:
+    """mult_mod_barrett(_approx) with the modulus constants as traced,
+    broadcastable operands (q, 2q, mu = floor(2^(bits(q)+62)/q)).
+
+    `shift` = bits(q) - 2 is static, so one compiled body serves every
+    modulus of a given bit width — the lever that lets RNS composites
+    (dyadic multiply) run their whole modulus stack as ONE (M, n) kernel
+    instead of M unrolled (n,) kernels. Same math and lazy ranges as the
+    static-constant forms above; bit-identical outputs."""
+    prod = mul64_wide(x, y)
+    c1 = shr128_to64(prod, shift)
+    if approx:
+        q_hat = mulhi64_approx(c1, mu)
+        z = sub64(prod.lo, mullo64(q_hat, q))
+        z = cond_sub64_half(z, two_q)  # z < 3q < 4q
+    else:
+        q_hat = mulhi64(c1, mu)
+        z = sub64(prod.lo, mullo64(q_hat, q))  # z < 2q
+    return cond_sub64_half(z, q)
+
+
+def add_mod_traced(a: U64, b: U64, q: U64) -> U64:
+    """(a + b) mod q for inputs in [0, q), q as a traced operand."""
+    return cond_sub64_half(add64(a, b), q)
+
+
 def montgomery_reduce_u128(t: U128, modulus: int, r: int, inv_mod: int) -> U64:
     """REDC: t * R^-1 mod q for R = 2^r (r == 64 here), t in [0, R*q).
 
