@@ -1,156 +1,238 @@
-"""VPU op-throughput probe: where does the headline butterfly time go?
+"""VPU issue-rate probe — the denominator behind the headline MFU claim.
 
-Measures scan-chained (dependent) throughput of raw u32/f32 lane ops, the
-limb vocabulary (umul32_wide, shoup, butterfly), and compares the implied
-butterflies/s with the measured headline so the optimization effort lands
-on the real bottleneck (ALU op count vs stage layout traffic).
+Protocol-correct rewrite (VERDICT round 3, Weak #1 / Next #2): every
+rate is a chain-length DIFFERENTIAL between two single-dispatch
+lax.scan programs, each ended by a D2H fetch barrier (benchmarks/
+timing.py) — the round-2 version used a bare block_until_ready, the
+exact mechanism BASELINE.md documents as under-blocking on this tunnel.
 
-Every chain is data-dependent AND non-constant-foldable (x*x forms, not
-x*c forms: a dependent multiply-by-constant chain folds to one multiply).
-Work per dispatch is sized so the tunnel's degraded ~3-9 ms dispatch tax
-is < 10% of the measurement (CLAUDE.md tunnel rules).
+Two regimes per op class:
+  * throughput  — 4M-lane arrays: each scan step is ~4k independent
+    vector instructions, so the rate is the machine's sustained issue
+    throughput (the correct MFU denominator for a batched NTT body).
+  * latency     — 1024-lane arrays (one native (8,128) vreg): each scan
+    step is a chain of register-dependent instructions, measuring the
+    dependent-issue (latency-bound) rate; the xN variants interleave N
+    independent chains to show how many streams saturate the pipeline.
+    If xN >> x1, a latency-bound body could gain from exposing ILP —
+    if the throughput rate already matches xN, a batched body cannot.
+
+Also measures the f32 datapath (mul, mul+add contraction, Dekker
+two_prod) to size the float-path candidate for q < 2^50 (VERDICT
+Next #1; reference lane: eltwise-mult-mod-avx512dq.cpp:576-615), and
+the limb vocabulary up to the lean16 butterfly.
+
+Writes benchmarks/vpu_probe_results.json (cited by BASELINE.md gen:mfu).
 
 Usage: timeout 580 python benchmarks/vpu_probe.py
 """
 
-import sys
+import json
 import os
-import time
+import pathlib
+import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hexl_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from hexl_tpu.limb import (U64, add64, cond_sub64, const64, mulhi64_approx,
-                           mullo64, sub64, umul32_wide, to_limbs)
+from timing import chain_rate  # noqa: E402  (benchmarks/ is cwd-agnostic)
 
-NELEM = 4 * 1024 * 1024  # 16 MB per u32 plane
+NELEM = 4 * 1024 * 1024   # throughput regime: 16 MB per u32 plane
+NLAT = 1024               # latency regime: one native (8, 128) vreg
 
-
-def timed(fn, x, iters=2):
-    out = fn(x)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(x)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+ROWS = []
 
 
-def chain(step, k):
-    def run(x):
-        return jax.lax.scan(lambda c, _: (step(c), None), x, None, length=k)[0]
-    return jax.jit(run)
-
-
-def report(name, total_ops, secs, unit="ops"):
-    rate = total_ops / secs
-    print(f"{name:34s} {rate/1e9:10.2f} G{unit}/s   ({secs*1e3:.3f} ms)")
+def report(name, rate, unit="op", note=""):
+    print(f"{name:36s} {rate/1e9:10.2f} G{unit}/s   {note}", flush=True)
+    ROWS.append({"name": name, "rate_e9": round(rate / 1e9, 3),
+                 "unit": unit, "note": note})
     return rate
 
 
 def main():
-    k = 16
-    reps = 64  # dependent op-groups per scan step
+    import jax
+    import jax.numpy as jnp
+
+    from hexl_tpu.limb import (U64, add64, const64, cond_sub64_half,
+                               mulhi64_approx6, mullo64, sub64, to_limbs,
+                               umul32_wide)
+    from hexl_tpu.ntt.jnp_ntt import _fwd_butterfly_lean16
 
     rng = np.random.default_rng(0)
+    print(f"probe backend={jax.default_backend()}  protocol="
+          f"chain-differential (k1=256,k2=4096), D2H fetch barrier")
+
     u = jnp.asarray(rng.integers(0, 2**32, size=NELEM, dtype=np.uint64)
                     .astype(np.uint32)).reshape(-1, 128)
-    f = jnp.asarray(rng.random(NELEM, dtype=np.float32) + 0.5).reshape(-1, 128)
+    f = jnp.asarray(rng.random(NELEM, dtype=np.float32) + 0.5
+                    ).reshape(-1, 128)
+    ul = jnp.asarray(rng.integers(0, 2**32, size=NLAT, dtype=np.uint64)
+                     .astype(np.uint32)).reshape(-1, 128)
+    fl = jnp.asarray(rng.random(NLAT, dtype=np.float32) + 0.5
+                     ).reshape(-1, 128)
 
-    print(f"probe: {NELEM} lanes, chain={k}, reps/step={reps}, backend="
-          f"{jax.default_backend()}")
+    # ---- 1. FMA contraction detector -----------------------------------
+    # p is computed in its own jit; a*b - p in another. Without
+    # contraction a*b re-rounds to exactly p -> residual 0 everywhere;
+    # with mul+sub fused to a real FMA the residual is the exact
+    # rounding error of a*b (nonzero for ~half of random inputs).
+    a = jnp.asarray(rng.random(8192, dtype=np.float32) + 1.0)
+    b = jnp.asarray(rng.random(8192, dtype=np.float32) + 1.0)
+    p = jax.jit(lambda a, b: a * b)(a, b)
+    resid = np.asarray(jax.jit(lambda a, b, p: a * b - p)(a, b, p))
+    fma_contract = bool((resid != 0).mean() > 0.01)
+    print(f"f32 mul+sub contracts to FMA: {fma_contract} "
+          f"(nonzero residual fraction {(resid != 0).mean():.3f})")
+    ROWS.append({"name": "fma_contraction", "rate_e9": None, "unit": "bool",
+                 "note": str(fma_contract)})
 
-    # --- 1. raw lane-op ceilings (data-dependent, unfoldable) -------------
-    def u32_mul_step(x):
-        for _ in range(reps):
-            x = x * x  # squaring chain: dependent, not foldable
-        return x
-    r = timed(chain(u32_mul_step, k), u)
-    mul_rate = report("u32 mul x*x (dep)", NELEM * reps * k, r, "mul")
+    # ---- 2. throughput regime (4M lanes) -------------------------------
+    def rep(step_1op, reps):
+        def step(x):
+            for _ in range(reps):
+                x = step_1op(x)
+            return x
+        return step
 
-    def u32_add_step(x):
-        for _ in range(reps):
-            x = x + (x >> 3)  # 2 ops, dependent
-        return x
-    r = timed(chain(u32_add_step, k), u)
-    report("u32 add+shift (2 ops, dep)", 2 * NELEM * reps * k, r, "op")
+    r = chain_rate(rep(lambda x: x * x, 64), u, NELEM * 64)
+    mul_rate = report("thru u32 mul (x*x)", r, "mul")
 
-    def f32_fma_step(x):
-        for _ in range(reps):
-            x = x * x + jnp.float32(-0.5)  # stays bounded-ish, unfoldable
-        return x
-    r = timed(chain(f32_fma_step, k), f)
-    report("f32 fma x*x+c (dep)", NELEM * reps * k, r, "fma")
+    r = chain_rate(rep(lambda x: x + (x >> 3), 32), u, 2 * NELEM * 32)
+    report("thru u32 add+shift", r, "op")
 
-    def u32_cmpsel_step(x):
-        c = jnp.uint32(0x80000000)
-        for _ in range(reps):
-            x = jnp.where(x > c, x - c, x + jnp.uint32(1))
-        return x
-    r = timed(chain(u32_cmpsel_step, k), u)
-    report("u32 cmp/sub/add/sel (4op, dep)", 4 * NELEM * reps * k, r, "op")
+    c_u = jnp.uint32(0x80000000)
 
-    # --- 2. limb vocabulary ------------------------------------------------
-    reps2 = 16
+    def cmpsel(x):
+        return jnp.where(x > c_u, x - c_u, x + jnp.uint32(1))
+    r = chain_rate(rep(cmpsel, 16), u, 4 * NELEM * 16)
+    report("thru u32 cmp/sub/add/sel", r, "op")
 
+    r = chain_rate(rep(lambda x: x * x, 64), f, NELEM * 64)
+    f32_mul = report("thru f32 mul (x*x)", r, "mul")
+
+    cf = jnp.float32(-0.5)
+    r = chain_rate(rep(lambda x: x * x + cf, 64), f, NELEM * 64)
+    f32_fma = report("thru f32 mul+add (x*x+c)", r, "fma",
+                     f"{r / f32_mul:.2f}x of mul rate -> "
+                     f"{'fused' if r > 0.8 * f32_mul else 'two issues'}")
+
+    # Dekker two_prod against a traced constant multiplicand (twiddle
+    # case: the constant's split is precomputed/folded).
+    csp = jnp.float32(4097.0)
+
+    def two_prod_step(x):
+        ch = jnp.float32(1.25)
+        cl = jnp.float32(1.25e-8)
+        xc = csp * x
+        xh = xc - (xc - x)
+        xl = x - xh
+        pr = x * ch
+        e = ((xh * ch - pr) + xh * cl + xl * ch) + xl * cl
+        return pr * jnp.float32(0.5) + e
+    r = chain_rate(rep(two_prod_step, 16), f, NELEM * 16)
+    report("thru f32 dekker two_prod(x,const)", r, "two_prod",
+           f"= {mul_rate / r:.1f} mul-equivalents")
+
+    # ---- 3. latency regime (1 vreg), dependent vs N independent --------
+    REPS_L = 512
+
+    def lat(nchains, arr):
+        xs = tuple(arr + jnp.uint32(i) if arr.dtype == jnp.uint32
+                   else arr + jnp.float32(i) for i in range(nchains))
+
+        def step_n(xs):
+            for _ in range(REPS_L):
+                xs = tuple(x * x for x in xs)
+            return xs
+        return chain_rate(step_n, xs, nchains * NLAT * REPS_L,
+                          k1=512, k2=8192)
+
+    l1 = report("lat  u32 mul x1 chain", lat(1, ul), "mul")
+    l4 = lat(4, ul)
+    report("lat  u32 mul x4 chains", l4, "mul", f"{l4 / l1:.2f}x of x1")
+    lf1 = report("lat  f32 mul x1 chain", lat(1, fl), "mul")
+    lf4 = lat(4, fl)
+    report("lat  f32 mul x4 chains", lf4, "mul", f"{lf4 / lf1:.2f}x of x1")
+
+    # ---- 4. limb vocabulary (throughput regime) ------------------------
     def wide_step(x):
-        for _ in range(reps2):
+        for _ in range(8):
             h, lo = umul32_wide(x, x)
             x = h ^ lo
         return x
-    r = timed(chain(wide_step, k), u)
-    report("umul32_wide(x,x) (dep)", NELEM * reps2 * k, r, "widemul")
-    print(f"  -> implied lane-mul rate {4*NELEM*reps2*k/r/1e9:.2f} Gmul/s")
+    r = chain_rate(wide_step, u, NELEM * 8)
+    report("thru umul32_wide(x,x)", r, "widemul",
+           f"= {mul_rate / r:.1f} mul-equivalents")
 
     q_int = (1 << 60) - (1 << 14) + 1
     w_int = 0x0123456789ABCDE5 % q_int
     wp_int = (w_int << 64) // q_int
-    q64 = const64(q_int)
-    two_q = const64(2 * q_int)
-    w64 = const64(w_int)
-    wp64 = const64(wp_int)
-
+    q64, two_q = const64(q_int), const64(2 * q_int)
+    w64, wp64 = const64(w_int), const64(wp_int)
     xu = to_limbs(rng.integers(0, q_int, size=NELEM, dtype=np.uint64))
     xu = U64(xu.hi.reshape(-1, 128), xu.lo.reshape(-1, 128))
 
-    def shoup_step(x):
-        for _ in range(reps2):
-            q_hat = mulhi64_approx(x, wp64)
+    def shoup_lean_step(x):
+        for _ in range(4):
+            q_hat = mulhi64_approx6(x, wp64)
             rr = sub64(mullo64(x, w64), mullo64(q_hat, q64))
-            x = cond_sub64(rr, two_q)
+            rr = cond_sub64_half(rr, add64(two_q, two_q))
+            x = cond_sub64_half(rr, two_q)
         return x
-    r = timed(chain(shoup_step, k), xu)
-    shoup_rate = report("shoup_mul_approx (dep)", NELEM * reps2 * k, r,
-                        "shoupmul")
-    print(f"  -> implied lane-mul rate {24*NELEM*reps2*k/r/1e9:.2f} Gmul/s")
+    r = chain_rate(shoup_lean_step, xu, NELEM * 4)
+    shoup_rate = report("thru shoup lean (approx6) mul", r, "shoupmul",
+                        f"= {mul_rate / r:.1f} mul-equivalents")
 
-    def bfly_step(x):
-        for _ in range(reps2):
-            tx = cond_sub64(x, two_q)
-            q_hat = mulhi64_approx(x, wp64)
-            t = cond_sub64(
-                sub64(mullo64(x, w64), mullo64(q_hat, q64)), two_q)
-            nx = add64(tx, t)
-            ny = sub64(add64(tx, two_q), t)
-            x = U64(nx.hi ^ ny.hi, nx.lo ^ ny.lo)
-        return x
-    r = timed(chain(bfly_step, k), xu)
-    bfly_rate = report("fwd butterfly (dep)", NELEM * reps2 * k, r, "bfly")
+    def bfly16_step(xy):
+        x, y = xy
+        for _ in range(2):
+            nx, ny = _fwd_butterfly_lean16(x, y, w64, wp64, q64, two_q)
+            x, y = ny, nx
+        return (x, y)
+    r = chain_rate(bfly16_step, (xu, xu), NELEM * 2)
+    bfly_rate = report("thru lean16 fwd butterfly", r, "bfly",
+                       f"= {mul_rate / r:.1f} mul-equivalents")
 
-    # --- 3. headline context ----------------------------------------------
-    n = 1 << 14
-    pairs = 91986.0  # round-2 headline, pairs/s
-    bflys = pairs * (n // 2) * int(np.log2(n)) * 2
-    print(f"\nheadline implies {bflys/1e9:.2f} Gbfly/s; pure-bfly chain "
-          f"reaches {bfly_rate/1e9:.2f} Gbfly/s "
-          f"-> stage/layout overhead factor {bfly_rate/bflys:.2f}x")
-    print(f"shoup-only ceiling would be {shoup_rate/1e9:.2f} Gbfly/s; "
-          f"raw-mul ceiling at 24 mul/bfly = {mul_rate/24/1e9:.2f} Gbfly/s")
+    # ---- 5. headline context -------------------------------------------
+    res_file = pathlib.Path(__file__).parent / "tpu_results.json"
+    headline = None
+    if res_file.exists():
+        rows = json.loads(res_file.read_text())["rows"]
+        us = {(r["kernel"], r["n"], r["q_bits"]): r["us_per_call"]
+              for r in rows}
+        fwd = us.get(("fwd_ntt", 16384, 60))
+        inv = us.get(("inv_ntt", 16384, 60))
+        if fwd and inv:
+            n = 16384
+            pairs = 1e6 / (fwd + inv)
+            bflys = pairs * (n // 2) * int(np.log2(n)) * 2
+            headline = {
+                "pairs_per_s": round(pairs, 1),
+                "gbfly_per_s": round(bflys / 1e9, 2),
+                "pct_of_pure_bfly_chain": round(100 * bflys / bfly_rate, 1),
+                "pct_of_mul_ceiling_24": round(
+                    100 * bflys / (mul_rate / 24), 1),
+            }
+            print(f"\nheadline (committed JSON): {pairs:,.0f} pairs/s = "
+                  f"{bflys/1e9:.2f} Gbfly/s = "
+                  f"{100*bflys/bfly_rate:.0f}% of the pure-butterfly "
+                  f"chain rate ({bfly_rate/1e9:.2f}), "
+                  f"{100*bflys/(mul_rate/24):.0f}% of the 24-mul/bfly "
+                  f"raw-multiply ceiling")
+
+    out = {"protocol": "chain-differential (T(k2)-T(k1)), lax.scan, "
+                       "D2H fetch barrier, median of 3",
+           "backend": jax.default_backend(),
+           "nelem_throughput": NELEM, "nelem_latency": NLAT,
+           "fma_contraction": fma_contract,
+           "rows": ROWS, "headline_context": headline}
+    out_path = pathlib.Path(__file__).parent / "vpu_probe_results.json"
+    out_path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
