@@ -159,12 +159,13 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    def record(kernel, n, q_bits, batch, dt_dispatch):
+    def record(kernel, n, q_bits, batch, dt_dispatch, base_key=None,
+               base_us=None):
         us = dt_dispatch / (batch * CHAIN) * 1e6
         row = {"kernel": kernel, "n": n, "q_bits": q_bits, "batch": batch,
                "chain": CHAIN, "us_per_call": round(us, 4),
                "calls_per_sec": round(batch * CHAIN / dt_dispatch, 1)}
-        base = baseline.get((kernel, n, q_bits))
+        base = base_us or baseline.get(base_key or (kernel, n, q_bits))
         if base is not None:
             row["ref_us_per_call"] = base
             row["vs_baseline"] = round(base / us, 3)
@@ -200,6 +201,35 @@ def main():
                 fn = _chained(op)
                 record(name, n, q_bits, batch,
                        _time_dispatch(fn, (x,), iters))
+
+    # ---- Batch sensitivity (VERDICT round 3, Next #8) ----
+    # The reference is a single-call library; every other NTT row here
+    # amortizes over a large batch. These rows state how the amortized
+    # per-call time depends on batch — and, against the single-call Xeon
+    # pair latency, the batch at which the TPU crosses it
+    # (BASELINE.md gen:batch-table is generated from these).
+    if not args.quick:
+        n, q_bits = 16384, 60
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        plan = get_plan(n, q)
+        base_pair = ((baseline.get(("fwd_ntt", n, q_bits)) or 0)
+                     + (baseline.get(("inv_ntt", n, q_bits)) or 0)) or None
+        pair_op = _chained(lambda v, p=plan: ntt_impl.inv_ntt(
+            ntt_impl.fwd_ntt(v, p, 1, 1), p, 1, 1))
+        for batch in (1, 8, 32, 256):
+            x = rand_u64(batch, n, q)
+            record("fwd+inv_ntt_pair", n, q_bits, batch,
+                   _time_dispatch(pair_op, (x,), iters),
+                   base_us=base_pair)
+        n2, qb2 = 8192, 60
+        q2 = nt.generate_primes(1, qb2, True, ntt_size=n2)[0]
+        for batch in (1, 32, 1024):
+            a, b = rand_u64(batch, n2, q2), rand_u64(batch, n2, q2)
+            record("eltwise_mult_mod_bsweep", n2, qb2, batch,
+                   _time_dispatch(
+                       _chained(lambda x, y, q=q2: ek.mult_mod(x, y, q, 1),
+                                (b,)), (a,), iters),
+                   base_key=("eltwise_mult_mod", n2, qb2))
 
     # ---- Eltwise suite (reference: benchmark/bench-eltwise-*.cpp) ----
     elt_batch = 1024
@@ -467,55 +497,77 @@ def main():
                       f"{us1:10.3f} us/call  "
                       f"{row1.get('vs_baseline', '')}", flush=True)
 
-    # ---- KeySwitch (reference: experimental/seal, production shape) ----
+    # ---- KeySwitch (reference: experimental/seal) at production CKKS
+    # shapes: the round-3 row (n=2^14, ds=3), the SEAL-typical deeper and
+    # larger shapes (ds=5, n=2^15 — VERDICT round 3, Next #9), and a
+    # batched (4 independent switches vmapped in one dispatch) variant
+    # showing how the stacked accumulation/flush amortizes. ----
     if not args.quick:
         from hexl_tpu.experimental.key_switch import key_switch
-        n, ds, kc = 1 << 14, 3, 2
-        kms, rns = ds + 1, ds + 1
-        moduli = nt.generate_primes(kms, 49, True, ntt_size=n)
-        qk = moduli[-1]
-        t_target = to_limbs(np.stack(
-            [rng.integers(0, q, n, np.uint64) for q in moduli[:ds]]))
-        keys_np = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
-                               dtype=np.uint64)
-        for j in range(ds):
-            for k in range(kc):
-                for m_i, q in enumerate(moduli):
-                    keys_np[j, k, m_i] %= np.uint64(q)
-        keys = to_limbs(keys_np)
-        msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
-        res0 = to_limbs(np.stack(
-            [np.stack([rng.integers(0, q, n, np.uint64)
-                       for q in moduli[:ds]]) for _ in range(kc)]))
 
-        def ks_step(t, r, kk):
-            # Chain on the TARGET, not the result accumulator: the
-            # accumulator only feeds the final add_mod, so a result-carried
-            # chain lets XLA hoist the whole pipeline out of the scan
-            # (measured: 32x under-report). The output's first component
-            # (kc=0) is (ds, n) in NTT form mod moduli[:ds] — a valid next
-            # target, making every step's full pipeline carry-dependent.
-            out = key_switch(r, t, n, ds, kms, rns, kc, moduli, kk, msf)
-            from hexl_tpu.limb import U64 as _U
-            return _U(out.hi[0], out.lo[0])
+        def bench_key_switch(n, ds, name, batch=1):
+            kc = 2
+            kms, rns = ds + 1, ds + 1
+            moduli = nt.generate_primes(kms, 49, True, ntt_size=n)
+            qk = moduli[-1]
+            t_np = np.stack(
+                [rng.integers(0, q, n, np.uint64) for q in moduli[:ds]])
+            keys_np = rng.integers(0, min(moduli), size=(ds, kc, kms, n),
+                                   dtype=np.uint64)
+            for j in range(ds):
+                for k in range(kc):
+                    for m_i, q in enumerate(moduli):
+                        keys_np[j, k, m_i] %= np.uint64(q)
+            keys = to_limbs(keys_np)
+            msf = [nt.inverse_mod(qk % q, q) for q in moduli[:ds]]
+            r_np = np.stack(
+                [np.stack([rng.integers(0, q, n, np.uint64)
+                           for q in moduli[:ds]]) for _ in range(kc)])
+            if batch == 1:
+                t_in = to_limbs(t_np)
+                res0 = to_limbs(r_np)
 
-        # Build plans eagerly (outside the scan trace) once.
-        _ = key_switch(res0, t_target, n, ds, kms, rns, kc, moduli, keys,
-                       msf)
-        fn = _chained(lambda t: ks_step(t, res0, keys))
-        dt = _time_dispatch(fn, (t_target,), max(1, iters // 2))
-        us = dt / CHAIN * 1e6
-        base = baseline.get(("key_switch", n, 49))
-        row = {"kernel": "key_switch", "n": n, "q_bits": 49, "batch": 1,
-               "chain": CHAIN, "us_per_call": round(us, 4),
-               "calls_per_sec": round(CHAIN / dt, 1)}
-        if base:
-            row["ref_us_per_call"] = base
-            row["vs_baseline"] = round(base / us, 3)
-        rows.append(row)
-        print(f"{'key_switch':24s} N={n:<6d} q=49b batch=1    "
-              f"{us:10.3f} us/call  {row.get('vs_baseline', '')}",
-              flush=True)
+                def ks_call(r, t, kk):
+                    return key_switch(r, t, n, ds, kms, rns, kc, moduli,
+                                      kk, msf)
+            else:
+                import jax as _jax
+
+                from hexl_tpu import config as _cfg
+                from hexl_tpu.experimental.key_switch import \
+                    _jitted_key_switch
+                t_in = to_limbs(np.stack([t_np] * batch))
+                res0 = to_limbs(np.stack([r_np] * batch))
+                inner = _jitted_key_switch(n, ds, kms, rns, kc,
+                                           tuple(moduli), tuple(msf),
+                                           _cfg.trace_config())
+                ks_call = _jax.jit(_jax.vmap(inner,
+                                             in_axes=(0, 0, None)))
+
+            def ks_step(t, r, kk):
+                # Chain on the TARGET, not the result accumulator: the
+                # accumulator only feeds the final add_mod, so a result-
+                # carried chain lets XLA hoist the whole pipeline out of
+                # the scan (measured: 32x under-report). The output's
+                # first component (kc=0) is (ds, n) in NTT form mod
+                # moduli[:ds] — a valid next target, making every step's
+                # full pipeline carry-dependent.
+                out = ks_call(r, t, kk)
+                from hexl_tpu.limb import U64 as _U
+                if batch == 1:
+                    return _U(out.hi[0], out.lo[0])
+                return _U(out.hi[:, 0], out.lo[:, 0])
+
+            _ = ks_step(t_in, res0, keys)  # build plans eagerly
+            fn = _chained(lambda t: ks_step(t, res0, keys))
+            record(name, n, 49, batch,
+                   _time_dispatch(fn, (t_in,), max(1, iters // 2)),
+                   base_key=(name if batch == 1 else "key_switch", n, 49))
+
+        bench_key_switch(1 << 14, 3, "key_switch")
+        bench_key_switch(1 << 14, 5, "key_switch_ds5")
+        bench_key_switch(1 << 15, 3, "key_switch")
+        bench_key_switch(1 << 14, 3, "key_switch", batch=4)
 
     # ---- DyadicMultiply (ct x ct in NTT form; the reference repo has
     # no bench-dyadic registration, so the baseline row comes from our
@@ -600,7 +652,23 @@ def main():
 
     print(f"\nplatform={jax.default_backend()}  "
           f"pallas={config.use_pallas()}  chain={CHAIN}  rows={len(rows)}")
+    # Record the exact tree state measured so docs can detect staleness
+    # (round-3 verdict: a code change after the last refresh left a
+    # docstring claim with no matching committed row).
+    try:
+        import subprocess
+        repo = str(pathlib.Path(__file__).resolve().parents[1])
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=repo).stdout.strip() or None
+        git_dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True,
+            text=True, cwd=repo).stdout.strip())
+    except Exception:
+        git_sha, git_dirty = None, None
     meta = {
+        "git_sha": git_sha,
+        "git_dirty": git_dirty,
         "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "backend": jax.default_backend(),
         "jax_version": jax.__version__,
