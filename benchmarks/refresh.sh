@@ -23,8 +23,11 @@ run() {
 run 5400 python benchmarks/bench_suite.py --out benchmarks/tpu_results.json
 
 # 2. Standing A/Bs that must be re-measured per toolchain update
-#    (CLAUDE.md): xla-vs-pallas NTT backend, eltwise approx quotients,
-#    DF FFT radix.
+#    (CLAUDE.md): xla-vs-pallas NTT backend (incl. the minimal Mosaic
+#    butterfly reproducer), eltwise approx quotients, DF FFT radix, and
+#    the issue-rate probe behind the MFU figure.
+run 1500 python benchmarks/vpu_probe.py
+run 1500 python benchmarks/mosaic_butterfly_ab.py
 run 580 python bench.py
 run 1200 env HEXL_TPU_NTT_BACKEND=pallas python bench.py
 run 1200 python benchmarks/eltwise_approx_ab.py
