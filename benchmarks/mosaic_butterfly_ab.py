@@ -43,7 +43,7 @@ def main():
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    from hexl_tpu.limb import U64, const64, to_limbs
+    from hexl_tpu.limb import U64, to_limbs
     from hexl_tpu.ntt.jnp_ntt import _fwd_butterfly_lean16
 
     rng = np.random.default_rng(0)
@@ -51,18 +51,25 @@ def main():
     w_int = 0x0123456789ABCDE5 % q_int
     wp_int = (w_int << 64) // q_int
 
+    def np_const64(v):
+        # numpy-scalar limbs fold into the jaxpr as LITERALS, so the
+        # identical body lowers under both XLA and Mosaic (Pallas
+        # rejects captured array constants: "pass them as inputs").
+        return U64(np.uint32(v >> 32), np.uint32(v & 0xFFFFFFFF))
+
+    consts = tuple(np_const64(v) for v in
+                   (w_int, wp_int, q_int, 2 * q_int))
+
     nelem = ROWS_TOTAL * 128
     xs = to_limbs(rng.integers(0, q_int, size=nelem, dtype=np.uint64))
     ys = to_limbs(rng.integers(0, q_int, size=nelem, dtype=np.uint64))
     x = U64(xs.hi.reshape(ROWS_TOTAL, 128), xs.lo.reshape(ROWS_TOTAL, 128))
     y = U64(ys.hi.reshape(ROWS_TOTAL, 128), ys.lo.reshape(ROWS_TOTAL, 128))
 
-    q64, two_q = const64(q_int), const64(2 * q_int)
-    w64, wp64 = const64(w_int), const64(wp_int)
-
     def chain_body(xx, yy):
+        w, wp, q, tq = consts
         for _ in range(REPS):
-            nx, ny = _fwd_butterfly_lean16(xx, yy, w64, wp64, q64, two_q)
+            nx, ny = _fwd_butterfly_lean16(xx, yy, w, wp, q, tq)
             xx, yy = ny, nx
         return xx, yy
 
