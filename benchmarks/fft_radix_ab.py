@@ -17,7 +17,6 @@ import json
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hexl_tpu_jax_cache")
@@ -25,7 +24,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-CHAIN = int(os.environ.get("AB_CHAIN", "32"))
+from timing import chain_rate  # noqa: E402
+
 BATCH = int(os.environ.get("AB_BATCH", "32"))
 SIZES = tuple(int(s) for s in
               os.environ.get("AB_SIZES", "4096,16384").split(","))
@@ -71,17 +71,11 @@ def main():
         def pair(c, ff=fft):
             return ff.df_inv_body(ff.df_fwd_body(c))
 
-        fn = jax.jit(lambda v: jax.lax.scan(
-            lambda c, _: (pair(c), None), v, None, length=CHAIN)[0])
-        out = fn(zc)
-        jax.block_until_ready(out)
-        iters = 4
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(zc)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        us = dt / (BATCH * CHAIN) * 1e6
+        # Chain-differential rate (benchmarks/timing.py): immune to the
+        # tunnel's ~40-60 ms fixed dispatch cost, which dominated the
+        # old fixed-chain timing at these small sizes.
+        rate = chain_rate(pair, zc, BATCH, k1=64, k2=1024)
+        us = 1e6 / rate
         print(json.dumps({
             "radix": radix, "n": n, "backend": jax.default_backend(),
             "us_per_pair": round(us, 3), "max_fwd_err": err,

@@ -28,6 +28,8 @@ run 5400 python benchmarks/bench_suite.py --out benchmarks/tpu_results.json
 #    the issue-rate probe behind the MFU figure.
 run 1500 python benchmarks/vpu_probe.py
 run 1500 python benchmarks/mosaic_butterfly_ab.py
+run 1500 python benchmarks/mosaic_df_bfly_ab.py
+run 1500 python benchmarks/fft_profile.py
 run 580 python bench.py
 run 1200 env HEXL_TPU_NTT_BACKEND=pallas python bench.py
 run 1200 python benchmarks/eltwise_approx_ab.py

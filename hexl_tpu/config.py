@@ -135,21 +135,86 @@ def ntt_radix() -> tuple:
     return ra, rb
 
 
-def fft_radix() -> int:
-    """Stage walker for the double-float FFT 2D bodies (default 2).
+def fft_radix():
+    """Per-phase stage-walker radix for the double-float FFT 2D bodies
+    ((phase_a, phase_b), the ntt_radix analogue — the generic walker
+    fuses log2(radix) butterfly stages per HBM materialization, and the
+    small-N FFT is layout/HBM-bound per benchmarks/fft_profile.py).
 
-    Radix-4 pairing is bit-identical eagerly but CORRUPTS the Dekker
-    error planes under XLA-CPU jit (products duplicated across fusions
-    get FMA-contracted in one copy: fwd error degrades 8e-15 -> 6e-8;
-    optimization_barrier between levels does not help — measured
-    2026-08-17). Kept opt-in (HEXL_TPU_FFT_RADIX=4) for per-backend
-    A/B: the TPU compiler may not contract the same way.
+    Returns None when HEXL_TPU_FFT_RADIX is unset: the walkers then
+    resolve MEASURED per-backend, per-direction, per-size defaults
+    (fft_like._fft_radix — fused on TPU, where the compiler never
+    FMA-contracts f32 mul+add (benchmarks/float_path_ab.py) so the
+    Dekker planes survive stage fusion bit-exactly; (2, 2) elsewhere:
+    fusion is bit-identical eagerly but CORRUPTS the error planes under
+    XLA-CPU jit — products duplicated across fusions get FMA-contracted
+    in one copy, fwd error degrades 8e-15 -> 6e-8; measured
+    2026-08-17). HEXL_TPU_FFT_RADIX=R or RA,RB (powers of two in
+    [2, 128]) overrides both directions for per-backend A/B.
     """
-    v = os.environ.get("HEXL_TPU_FFT_RADIX", "2").strip()
-    if v not in ("2", "4"):
+    v = os.environ.get("HEXL_TPU_FFT_RADIX", "").strip()
+    if not v:
+        return None
+    parts = v.split(",")
+    if len(parts) == 1:
+        parts = [parts[0], parts[0]]
+    if len(parts) != 2:
         raise ValueError(
-            f"HEXL_TPU_FFT_RADIX must be 2 or 4; got {v!r}")
-    return int(v)
+            f"HEXL_TPU_FFT_RADIX must be R or RA,RB; got {v!r}")
+    try:
+        ra, rb = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"HEXL_TPU_FFT_RADIX must be numeric; got {v!r}") from None
+    if ra not in _VALID_RADIX or rb not in _VALID_RADIX:
+        raise ValueError(
+            f"HEXL_TPU_FFT_RADIX values must be powers of two in "
+            f"[2, 128]; got {v!r}")
+    return ra, rb
+
+
+def fft_pack() -> bool:
+    """Batch-pack the DF FFT phase-B walk into full 128-lane tiles.
+
+    For n < 2^14 the transposed phase-B layout has minor dim
+    lane_l = n/128 < 128, so every vector op and HBM tile carries
+    (128 - lane_l)/128 padding; packing kb = 128/lane_l polynomials
+    side by side into the lane axis (the XLA-level analogue of
+    pallas_ntt's packed small-N pipeline) restores full tiles. The
+    pack replaces the tile transpose — same materialization count —
+    and is a pure lane permutation, so results are bit-identical.
+    Measured (lane-shape probe, 2026-08-20): full-lane elementwise
+    runs 1.6-2.2x the narrow-minor rate. Default on for TPU;
+    HEXL_TPU_FFT_PACK=0/1 overrides.
+    """
+    v = os.environ.get("HEXL_TPU_FFT_PACK", "").strip()
+    if not v:
+        return default_backend() == "tpu"
+    if v not in ("0", "1"):
+        raise ValueError(
+            f"HEXL_TPU_FFT_PACK must be 0 or 1; got {v!r}")
+    return v == "1"
+
+
+def fft_backend() -> str:
+    """Execution strategy for the small-N double-float FFT bodies:
+    'xla' (default — staged 2D walk with radix-2^L stage fusion, see
+    fft_radix) or 'pallas' (experimental/pallas_fft.py — the whole
+    transform fused in one VMEM-resident kernel).
+
+    The Pallas kernel is bit-equal on TPU but MEASURED SLOWER at every
+    size on the current toolchain (2026-08-20: inv 4096 9.3 vs 3.5 us,
+    1024 9.3 vs 0.76 us) — the same Mosaic-codegen verdict as the
+    fused NTT kernels. The small-N FFT is layout/HBM-bound
+    (fft_profile.py), but the winning fix was radix-2^L stage fusion
+    in the XLA walk, not VMEM residency. Kept opt-in for per-toolchain
+    re-A/B via HEXL_TPU_FFT_BACKEND=pallas.
+    """
+    v = os.environ.get("HEXL_TPU_FFT_BACKEND", "xla").strip()
+    if v not in ("xla", "pallas"):
+        raise ValueError(
+            f"HEXL_TPU_FFT_BACKEND must be 'xla' or 'pallas'; got {v!r}")
+    return v
 
 
 def trace_config() -> tuple:
@@ -158,9 +223,9 @@ def trace_config() -> tuple:
     runner). Every jit cache in the package includes this in its key, so
     toggling an env switch mid-process (an in-process A/B) retraces
     instead of silently reusing the first-traced configuration."""
-    return (ntt_backend(), ntt_radix(), fft_radix(), approx_butterflies(),
-            force_pallas_eltwise(), dist_overlap_slices(),
-            default_backend())
+    return (ntt_backend(), ntt_radix(), fft_radix(), fft_backend(),
+            fft_pack(), approx_butterflies(), force_pallas_eltwise(),
+            dist_overlap_slices(), default_backend())
 
 
 def approx_butterflies() -> bool:

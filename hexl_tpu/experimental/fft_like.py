@@ -242,118 +242,245 @@ def _bfly_inv_df(xs, ys, w):
                                            D.cdf_presplit(w))
 
 
-def _t_split4(x, axis: int, m: int, part: int):
-    """Pytree-generic jnp_ntt._split4: one axis of size m*4*part -> the 4
-    part sub-arrays + a concat reassembly (one materialization per TWO
-    butterfly stages — the DF planes pay 4x the NTT's relayout cost per
-    stage, re/im x hi/lo, so stage pairing saves twice as much here)."""
+def _t_splitk(x, axis: int, m: int, k: int, part: int):
+    """Pytree-generic jnp_ntt._splitk: one axis of size m*k*part -> the
+    k part sub-arrays + a concat reassembly. One materialization per
+    log2(k) butterfly stages — the DF planes pay 4x the NTT's relayout
+    cost per stage (re/im x hi/lo) and the small-N FFT is HBM-bound
+    (benchmarks/fft_profile.py), so stage fusion pays doubly here."""
     def rs(p):
         s = p.shape
-        return p.reshape(s[:axis] + (m, 4 * part) + s[axis + 1:])
+        return p.reshape(s[:axis] + (m, k * part) + s[axis + 1:])
     v = _tmap(rs, x)
     ndim = v.re.hi.ndim
-    qs = []
-    for j in range(4):
+    es = []
+    for j in range(k):
         sl = [slice(None)] * ndim
         sl[axis + 1] = slice(j * part, (j + 1) * part)
-        qs.append(_tmap(lambda p, sl=tuple(sl): p[sl], v))
+        es.append(_tmap(lambda p, sl=tuple(sl): p[sl], v))
 
-    def join(q0, q1, q2, q3):
-        def cat(a, b, c, d):
-            h = jnp.concatenate([a, b, c, d], axis=axis + 1)
+    def join(*outs):
+        def cat(*ps):
+            h = jnp.concatenate(ps, axis=axis + 1)
             s = h.shape
-            return h.reshape(s[:axis] + (m * 4 * part,) + s[axis + 2:])
-        return _tmap(cat, q0, q1, q2, q3)
+            return h.reshape(s[:axis] + (m * k * part,) + s[axis + 2:])
+        return _tmap(cat, *outs)
 
-    return qs, join
-
-
-def _t_even_odd_a(w, m: int):
-    """Phase-A stage table (2m,) -> even/odd halves as (m, 1, 1)."""
-    def sel(j):
-        return _tmap(lambda p: p.reshape(m, 2)[:, j][:, None, None], w)
-    return sel(0), sel(1)
+    return es, join
 
 
-def _t_even_odd_b(w, nb: int):
-    """Phase-B stage table (tiles, 2nb, L) -> even/odd (tiles, nb, 1, L)."""
-    def sel(j):
-        return _tmap(lambda p: p.reshape(p.shape[0], nb, 2, p.shape[2])
-                     [:, :, j][:, :, None, :], w)
-    return sel(0), sel(1)
+def _sq1(p):
+    """Single-element broadcast table -> 0-d scalar extract. Mosaic
+    cannot lower a (1,..,1) vector broadcast into both sublanes and
+    lanes ("Broadcast in both sublanes and lanes: not implemented");
+    a scalar splat lowers everywhere, and XLA broadcasts a 0-d value
+    identically to a (1,..,1) one — results are bit-equal."""
+    return p[(0,) * p.ndim] if p.size == 1 else p
 
 
-def _fwd_radix4_df(qs, w1, w2a, w2b):
-    """Two forward DF levels fused (same op order as two sequential
-    radix-2 stages -> bit-identical; mirrors jnp_ntt._fwd_radix4_step)."""
-    q0, q1, q2, q3 = qs
-    a0, c0 = _bfly_fwd_df(q0, q2, w1)
-    b0, d0 = _bfly_fwd_df(q1, q3, w1)
-    a1, b1 = _bfly_fwd_df(a0, b0, w2a)
-    c1, d1 = _bfly_fwd_df(c0, d0, w2b)
-    return a1, b1, c1, d1
+def _bcast_a_df(w):
+    """Phase-A stage table (m,) -> (m, 1, 1) (scalar extract at m=1).
+    Tables already densified to the full (m, t/128, 128) stage shape
+    (the Pallas kernel's form — Mosaic cannot broadcast into sublanes
+    and lanes at once) pass through unchanged."""
+    return _tmap(
+        lambda p: _sq1(p[:, None, None]) if p.ndim == 1 else p, w)
 
 
-def _inv_radix4_df(qs, w1a, w1b, w2):
-    """Two inverse DF levels fused (mirrors jnp_ntt._inv_radix4_step)."""
-    q0, q1, q2, q3 = qs
-    a0, b0 = _bfly_inv_df(q0, q1, w1a)
-    c0, d0 = _bfly_inv_df(q2, q3, w1b)
-    a1, c1 = _bfly_inv_df(a0, c0, w2)
-    b1, d1 = _bfly_inv_df(b0, d0, w2)
-    return a1, b1, c1, d1
+def _t_parts_a(w, m: int, parts: int):
+    """Phase-A stage table (m*parts,) -> `parts` interleaved (m, 1, 1)
+    slices (jnp_ntt._parts_a; part g holds the twiddles the g-th
+    butterfly group of a fused level consumes)."""
+    if parts == 1:
+        return [_bcast_a_df(w)]
+    return [_tmap(lambda p, j=j:
+                  _sq1(p.reshape(m, parts)[:, j][:, None, None]), w)
+            for j in range(parts)]
 
 
-def _fft_radix(n: int) -> int:
-    """Stage-pairing factor for the DF walkers. Defaults to radix-2:
-    radix-4 is bit-identical eagerly but corrupts the Dekker error planes
-    under XLA-CPU jit (see config.fft_radix); opt-in via
-    HEXL_TPU_FFT_RADIX=4 for per-backend measurement."""
-    return config.fft_radix() if n >= (1 << 13) else 2
+def _t_parts_b(w, nb: int, parts: int):
+    """Phase-B stage table (tiles, nb*parts, L) -> `parts` interleaved
+    (tiles, nb, 1, L) slices (jnp_ntt._parts_b)."""
+    if parts == 1:
+        return [_tmap(lambda p: p[:, :, None, :], w)]
+    return [_tmap(lambda p, j=j:
+                  p.reshape(p.shape[0], nb, parts, p.shape[2])
+                  [:, :, j][:, :, None, :], w)
+            for j in range(parts)]
 
 
-def _fwd_2d_df(x, st, n, rows, tiles, lane_l, scalar):
-    """Forward staged transform; `st` is (fwd_a, fwd_b) stage lists."""
+def _fwd_radixk_df(es, wparts):
+    """log2(len(es)) forward DF levels fused over a block list
+    (descending strides) — jnp_ntt._fwd_radixk_step with the complex
+    double-float butterfly. Bit-exact equal to the sequential stages
+    (same ops in the same order)."""
+    e = list(es)
+    k = len(e)
+    log_k = k.bit_length() - 1
+    for j in range(log_k):
+        half = k >> (j + 1)
+        for base in range(0, k, 2 * half):
+            g = base >> (log_k - j)
+            for i in range(base, base + half):
+                e[i], e[i + half] = _bfly_fwd_df(e[i], e[i + half],
+                                                 wparts[j][g])
+    return e
+
+
+def _inv_radixk_df(es, wparts):
+    """Mirror of _fwd_radixk_df: inverse DF levels fused, ascending
+    strides (jnp_ntt._inv_radixk_step)."""
+    e = list(es)
+    k = len(e)
+    for j in range(k.bit_length() - 1):
+        half = 1 << j
+        for base in range(0, k, 2 * half):
+            g = base >> (j + 1)
+            for i in range(base, base + half):
+                e[i], e[i + half] = _bfly_inv_df(e[i], e[i + half],
+                                                 wparts[j][g])
+    return e
+
+
+# Measured per-direction defaults for the TPU backend (v5e, batch 32,
+# chain-differential protocol, packed phase B, 2026-08-20 radix sweeps
+# — see benchmarks/fft_profile.py and docs/ROADMAP.md). Key: size
+# threshold (use the first row with n <= thresh); values: (fwd
+# (ra, rb), inv (ra, rb)). The optimum differs per direction and size
+# class because phase A/B stage counts and the register pressure of
+# the fused groups differ; every combo is bit-identical, so this is
+# purely a scheduling choice. Measured at 4096: inv 4.15 us (radix-2,
+# unpacked) -> 1.64 us ((4,8) packed); fwd 3.77 -> 1.51.
+_TPU_RADIX_DEFAULTS = (
+    (2048, ((4, 4), (8, 8))),
+    (4096, ((4, 8), (4, 8))),
+    (1 << 30, ((8, 8), (8, 8))),
+)
+
+
+def _fft_radix(n: int, forward: bool = True) -> tuple:
+    """Per-phase stage-fusion factors (radix_a, radix_b) for the DF
+    walkers. HEXL_TPU_FFT_RADIX overrides both directions; unset, the
+    measured per-direction table above applies on TPU and (2, 2)
+    elsewhere (fusion corrupts the Dekker planes under XLA-CPU jit).
+    Below MIN_2D_N the flat loop runs radix-2 regardless."""
+    from ..ntt.plan import MIN_2D_N
+    if n < MIN_2D_N:
+        return (2, 2)
+    r = config.fft_radix()
+    if r is not None:
+        return r if isinstance(r, tuple) else (int(r), int(r))
+    if config.default_backend() != "tpu":
+        return (2, 2)
+    for thresh, (fwd_r, inv_r) in _TPU_RADIX_DEFAULTS:
+        if n <= thresh:
+            return fwd_r if forward else inv_r
+    return (8, 8)  # pragma: no cover
+
+
+
+def _t_pack_b(x, kb: int, lane_l: int):
+    """(B, rows, 128) -> (B/kb, 1, 128, kb*L): the tile transpose with
+    kb polynomials packed side by side into the lane axis. For
+    lane_l < 128 the plain transposed layout wastes (128-lane_l)/128 of
+    every vector op and HBM tile on padding (config.fft_pack); packing
+    restores full tiles at the SAME materialization count (this replaces
+    _t_transpose_tiles, it does not follow it). Pure lane permutation:
+    packed[b, 0, c, j*L + l] == transposed[b*kb + j, 0, c, l]."""
+    def t(p):
+        b = p.shape[0] // kb
+        v = p.reshape(b, kb, lane_l, 128)
+        return v.transpose(0, 3, 1, 2).reshape(b, 1, 128, kb * lane_l)
+    return _tmap(t, x)
+
+
+def _t_unpack_b(x, kb: int, lane_l: int):
+    """Inverse of _t_pack_b: (B/kb, 1, 128, kb*L) -> (B, rows, 128)."""
+    def t(p):
+        b = p.shape[0]
+        v = p.reshape(b, 128, kb, lane_l).transpose(0, 2, 3, 1)
+        return v.reshape(b * kb, lane_l, 128)
+    return _tmap(t, x)
+
+
+def _t_tile_stages_b(stages, kb: int):
+    """Tile phase-B stage tables (1, nb, L) -> (1, nb, kb*L) for the
+    packed walk (packed lane j*L + l carries poly j's element l, which
+    consumes the same twiddle as the unpacked element l)."""
+    return [(m, t, _tmap(lambda p: jnp.tile(p, (1, 1, kb)), w), None)
+            for m, t, w, _ in stages]
+
+
+def _pack_kb(x, tiles: int, lane_l: int):
+    """Packing factor for the phase-B walk, or 1 when inapplicable
+    (multi-tile layouts, batch not divisible, packing disabled)."""
+    if tiles != 1 or lane_l >= 128 or not config.fft_pack():
+        return 1
+    lead = x.re.hi.shape[:-2]
+    if len(lead) != 1:  # walkers flatten batch to one axis before this
+        return 1
+    kb = 128 // lane_l
+    return kb if lead[0] % kb == 0 else 1
+
+
+def _fwd_2d_df(x, st, n, rows, tiles, lane_l, scalar, radix=None):
+    """Forward staged transform; `st` is (fwd_a, fwd_b) stage lists.
+    `radix` is the per-phase stage-fusion factor (int or (ra, rb) pair
+    of powers of two, default config.fft_radix): the generic walker
+    fuses log2(radix) butterfly stages per HBM materialization —
+    jnp_ntt.fwd_body_2d applied to the complex double-float planes."""
     from . import df32 as D
+    radix_a, radix_b = _fft_radix(n, forward=True) if radix is None \
+        else ((radix, radix) if isinstance(radix, int) else radix)
     shape = x.re.hi.shape
     x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
     row_axis = x.re.hi.ndim - 2
-    radix = _fft_radix(n)
     stages_a = list(st[0])
     i = 0
     while i < len(stages_a):
         m, t, w, _ = stages_a[i]
-        if radix >= 4 and i + 1 < len(stages_a):
-            m2, t2, w2, _ = stages_a[i + 1]
-            qs, join = _t_split4(x, row_axis, m, t2 // 128)
-            w2a, w2b = _t_even_odd_a(w2, m2 // 2)
-            x = join(*_fwd_radix4_df(
-                qs, _tmap(lambda p: p[:, None, None], w), w2a, w2b))
-            i += 2
+        log_k = min(radix_a.bit_length() - 1, len(stages_a) - i)
+        if log_k <= 1:
+            xs, ys, join = _t_split2(x, row_axis, m, t // 128)
+            x = join(*_bfly_fwd_df(xs, ys, _bcast_a_df(w)))
+            i += 1
             continue
-        xs, ys, join = _t_split2(x, row_axis, m, t // 128)
-        x = join(*_bfly_fwd_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
-        i += 1
-    x = _t_transpose_tiles(x, tiles, lane_l)
+        k = 1 << log_k
+        es, join = _t_splitk(x, row_axis, m, k,
+                             (t // 128) >> (log_k - 1))
+        wparts = [_t_parts_a(stages_a[i + j][2], m, 1 << j)
+                  for j in range(log_k)]
+        x = join(*_fwd_radixk_df(es, wparts))
+        i += log_k
+    kb = _pack_kb(x, tiles, lane_l)
+    if kb > 1:
+        x = _t_pack_b(x, kb, lane_l)
+        stages_b = _t_tile_stages_b(list(st[1]), kb)
+    else:
+        x = _t_transpose_tiles(x, tiles, lane_l)
+        stages_b = list(st[1])
     c_axis = x.re.hi.ndim - 2
-    stages_b = list(st[1])
     i = 0
     while i < len(stages_b):
         m, t, w, _ = stages_b[i]
         nb = 128 // (2 * t)
-        if radix >= 4 and i + 1 < len(stages_b):
-            m2, t2, w2, _ = stages_b[i + 1]
-            qs, join = _t_split4(x, c_axis, nb, t2)
-            w2a, w2b = _t_even_odd_b(w2, nb)
-            x = join(*_fwd_radix4_df(
-                qs, _tmap(lambda p: p[:, :, None, :], w), w2a, w2b))
-            i += 2
+        log_k = min(radix_b.bit_length() - 1, len(stages_b) - i)
+        if log_k <= 1:
+            xs, ys, join = _t_split2(x, c_axis, nb, t)
+            x = join(*_bfly_fwd_df(xs, ys,
+                                   _tmap(lambda p: p[:, :, None, :], w)))
+            i += 1
             continue
-        xs, ys, join = _t_split2(x, c_axis, nb, t)
-        x = join(*_bfly_fwd_df(xs, ys,
-                               _tmap(lambda p: p[:, :, None, :], w)))
-        i += 1
-    x = _t_untranspose_tiles(x, rows)
+        k = 1 << log_k
+        es, join = _t_splitk(x, c_axis, nb, k, t >> (log_k - 1))
+        wparts = [_t_parts_b(stages_b[i + j][2], nb, 1 << j)
+                  for j in range(log_k)]
+        x = join(*_fwd_radixk_df(es, wparts))
+        i += log_k
+    if kb > 1:
+        x = _t_unpack_b(x, kb, lane_l)
+    else:
+        x = _t_untranspose_tiles(x, rows)
     x = _tmap(lambda p: p.reshape(shape), x)
     if scalar is not None:
         # Last-stage scale fusion (reference fft-like-native.cpp) scales
@@ -362,50 +489,64 @@ def _fwd_2d_df(x, st, n, rows, tiles, lane_l, scalar):
     return x
 
 
-def _inv_2d_df(x, st, n, rows, tiles, lane_l, w_final, scalar):
+def _inv_2d_df(x, st, n, rows, tiles, lane_l, w_final, scalar,
+               radix=None):
     """Inverse staged transform; `st` is (inv_b, inv_a); w_final is the
     CDF scalar twiddle of the last (t = n/2) stage, which build_stage_lists
-    leaves to the caller (NTT fuses N^-1 there; the FFT fuses `scalar`)."""
+    leaves to the caller (NTT fuses N^-1 there; the FFT fuses `scalar`).
+    `radix` as in _fwd_2d_df (jnp_ntt.inv_body_2d's walk)."""
     from . import df32 as D
+    radix_a, radix_b = _fft_radix(n, forward=False) if radix is None \
+        else ((radix, radix) if isinstance(radix, int) else radix)
     shape = x.re.hi.shape
     x = _tmap(lambda p: p.reshape(shape[:-1] + (rows, 128)), x)
-    x = _t_transpose_tiles(x, tiles, lane_l)
+    kb = _pack_kb(x, tiles, lane_l)
+    if kb > 1:
+        x = _t_pack_b(x, kb, lane_l)
+        stages_b = _t_tile_stages_b(list(st[0]), kb)
+    else:
+        x = _t_transpose_tiles(x, tiles, lane_l)
+        stages_b = list(st[0])
     c_axis = x.re.hi.ndim - 2
-    radix = _fft_radix(n)
-    stages_b = list(st[0])
     i = 0
     while i < len(stages_b):
         m, t, w, _ = stages_b[i]
         nb = 128 // (2 * t)
-        if radix >= 4 and i + 1 < len(stages_b):
-            m2, t2, w2, _ = stages_b[i + 1]
-            qs, join = _t_split4(x, c_axis, nb // 2, t)
-            w1a, w1b = _t_even_odd_b(w, nb // 2)
-            x = join(*_inv_radix4_df(
-                qs, w1a, w1b, _tmap(lambda p: p[:, :, None, :], w2)))
-            i += 2
+        log_k = min(radix_b.bit_length() - 1, len(stages_b) - i)
+        if log_k <= 1:
+            xs, ys, join = _t_split2(x, c_axis, nb, t)
+            x = join(*_bfly_inv_df(xs, ys,
+                                   _tmap(lambda p: p[:, :, None, :], w)))
+            i += 1
             continue
-        xs, ys, join = _t_split2(x, c_axis, nb, t)
-        x = join(*_bfly_inv_df(xs, ys,
-                               _tmap(lambda p: p[:, :, None, :], w)))
-        i += 1
-    x = _t_untranspose_tiles(x, rows)
+        k = 1 << log_k
+        es, join = _t_splitk(x, c_axis, nb >> (log_k - 1), k, t)
+        wparts = [_t_parts_b(stages_b[i + j][2], nb >> (log_k - 1),
+                             k >> (j + 1)) for j in range(log_k)]
+        x = join(*_inv_radixk_df(es, wparts))
+        i += log_k
+    if kb > 1:
+        x = _t_unpack_b(x, kb, lane_l)
+    else:
+        x = _t_untranspose_tiles(x, rows)
     row_axis = x.re.hi.ndim - 2
     stages_a = list(st[1])
     i = 0
     while i < len(stages_a):
         m, t, w, _ = stages_a[i]
-        if radix >= 4 and i + 1 < len(stages_a):
-            m2, t2, w2, _ = stages_a[i + 1]
-            qs, join = _t_split4(x, row_axis, m // 2, t // 128)
-            w1a, w1b = _t_even_odd_a(w, m // 2)
-            x = join(*_inv_radix4_df(
-                qs, w1a, w1b, _tmap(lambda p: p[:, None, None], w2)))
-            i += 2
+        log_k = min(radix_a.bit_length() - 1, len(stages_a) - i)
+        if log_k <= 1:
+            xs, ys, join = _t_split2(x, row_axis, m, t // 128)
+            x = join(*_bfly_inv_df(xs, ys, _bcast_a_df(w)))
+            i += 1
             continue
-        xs, ys, join = _t_split2(x, row_axis, m, t // 128)
-        x = join(*_bfly_inv_df(xs, ys, _tmap(lambda p: p[:, None, None], w)))
-        i += 1
+        k = 1 << log_k
+        es, join = _t_splitk(x, row_axis, m >> (log_k - 1), k,
+                             t // 128)
+        wparts = [_t_parts_a(stages_a[i + j][2], m >> (log_k - 1),
+                             k >> (j + 1)) for j in range(log_k)]
+        x = join(*_inv_radixk_df(es, wparts))
+        i += log_k
     # Final stage pairs row r with row r + rows/2; fuse `scalar` if given.
     xs, ys, join = _t_split2(x, row_axis, 1, rows // 2)
     tx = D.cdf_add(xs, ys)
@@ -577,12 +718,23 @@ class FFTLike:
         self.fwd_table = jnp.asarray(fwd, dtype=self._ctype)
         self.inv_table = jnp.asarray(inv, dtype=self._ctype)
 
+    def _use_pallas_fft(self) -> bool:
+        from .pallas_fft import PALLAS_FFT_MAX_N
+        return (self._st_fwd is not None
+                and self.n <= PALLAS_FFT_MAX_N
+                and config.fft_backend() == "pallas")
+
     def df_fwd_body(self, x, scalar=None):
-        """Forward double-float body (jittable, CDF -> CDF): the staged 2D
-        walk for n >= MIN_2D_N, the flat walk below. Same butterflies in
-        the same order — bit-identical for scalar=None; with a scalar the
-        2D walk scales the joined output instead of the last stage's two
-        terms (equal values, last-rounding may differ)."""
+        """Forward double-float body (jittable, CDF -> CDF): the fused
+        Pallas kernel for layout-bound small n (config.fft_backend), the
+        staged 2D walk for n >= MIN_2D_N, the flat walk below. Same
+        butterflies in the same order — bit-identical for scalar=None;
+        with a scalar the 2D walk scales the joined output instead of
+        the last stage's two terms (equal values, last-rounding may
+        differ)."""
+        if self._use_pallas_fft():
+            from . import pallas_fft
+            return pallas_fft.fwd_fft_df(x, self, scalar)
         if self._st_fwd is not None:
             return _fwd_2d_df(x, self._st_fwd, self.n, self._rows,
                               self._tiles, self._lane_l, scalar)
@@ -590,6 +742,9 @@ class FFTLike:
 
     def df_inv_body(self, x, scalar=None):
         """Inverse double-float body (jittable, CDF -> CDF)."""
+        if self._use_pallas_fft():
+            from . import pallas_fft
+            return pallas_fft.inv_fft_df(x, self, scalar)
         if self._st_inv is not None:
             return _inv_2d_df(x, self._st_inv, self.n, self._rows,
                               self._tiles, self._lane_l, self._w_final,

@@ -270,36 +270,38 @@ def test_fft_like_df_precision_large_jit():
         assert rel < 1e-12, (direction, rel)
 
 
-def test_fft_like_df_radix4_pairing_eager():
-    """The radix-4 DF walkers are bit-identical to radix-2 when run
-    eagerly (same ops, same order) — the opt-in HEXL_TPU_FFT_RADIX=4
-    path stays correct even though it is default-off (jit contraction
-    hazard, config.fft_radix)."""
-    import os
-    from unittest import mock
+@pytest.mark.parametrize("n", [1024, 4096, 8192])
+def test_fft_like_df_radix4_pairing_eager(n):
+    """The generic radix-2^L DF walkers are bit-identical to radix-2
+    when run eagerly (same ops, same order) at every fusion factor,
+    including mixed per-phase pairs and whole-phase fusion — stage
+    fusion only changes HBM materialization, never arithmetic (the
+    TPU default is fused; radix-2 stays default on CPU, where jit
+    FMA-contraction corrupts fused Dekker products). Covers every 2D
+    size class: odd phase-A stage counts (1024: 3, 4096: 5) leave a
+    remainder group and 8192 pairs evenly."""
     from hexl_tpu.experimental import fft_like as FL
     from hexl_tpu.experimental.df32 import (cdf_from_complex128,
                                             cdf_to_complex128)
-    n = 8192
     fft = FL.FFTLike(n, precision="double_float")
     rng = np.random.default_rng(14)
     z = rng.normal(size=n) + 1j * rng.normal(size=n)
     zc = cdf_from_complex128(z)
 
     def fwd(radix):
-        with mock.patch.dict(os.environ, {"HEXL_TPU_FFT_RADIX": radix}):
-            return cdf_to_complex128(FL._fwd_2d_df(
-                zc, fft._st_fwd, n, fft._rows, fft._tiles, fft._lane_l,
-                None))
+        return cdf_to_complex128(FL._fwd_2d_df(
+            zc, fft._st_fwd, n, fft._rows, fft._tiles, fft._lane_l,
+            None, radix=radix))
 
     def inv(radix):
-        with mock.patch.dict(os.environ, {"HEXL_TPU_FFT_RADIX": radix}):
-            return cdf_to_complex128(FL._inv_2d_df(
-                zc, fft._st_inv, n, fft._rows, fft._tiles, fft._lane_l,
-                fft._w_final, None))
+        return cdf_to_complex128(FL._inv_2d_df(
+            zc, fft._st_inv, n, fft._rows, fft._tiles, fft._lane_l,
+            fft._w_final, None, radix=radix))
 
-    np.testing.assert_array_equal(fwd("2"), fwd("4"))
-    np.testing.assert_array_equal(inv("2"), inv("4"))
+    base_f, base_i = fwd(2), inv(2)
+    for radix in (4, 8, 16, (16, 8), (32, 8), (8, 128), (32, 128)):
+        np.testing.assert_array_equal(base_f, fwd(radix), err_msg=str(radix))
+        np.testing.assert_array_equal(base_i, inv(radix), err_msg=str(radix))
 
 
 def test_fft_like_2d_staged_matches_flat():

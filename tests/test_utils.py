@@ -160,7 +160,18 @@ def test_env_switch_validation(monkeypatch):
     with pytest.raises(ValueError):
         config.fft_radix()
     monkeypatch.setenv("HEXL_TPU_FFT_RADIX", "4")
-    assert config.fft_radix() == 4
+    assert config.fft_radix() == (4, 4)
+    monkeypatch.setenv("HEXL_TPU_FFT_RADIX", "16,8")
+    assert config.fft_radix() == (16, 8)
+    monkeypatch.delenv("HEXL_TPU_FFT_RADIX")
+    # Unset -> None: the walkers resolve measured per-backend,
+    # per-direction, per-size defaults (fft_like._fft_radix).
+    assert config.fft_radix() is None
+    from hexl_tpu.experimental.fft_like import _fft_radix
+    ra, rb = _fft_radix(4096, forward=True)
+    assert ra in (2, 4, 8, 16, 32, 64, 128) and rb in (2, 4, 8, 16, 32,
+                                                       64, 128)
+    assert _fft_radix(512, forward=False) == (2, 2)  # below MIN_2D_N
     monkeypatch.setenv("HEXL_TPU_DIST_OVERLAP", "two")
     with pytest.raises(ValueError):
         config.dist_overlap_slices()
