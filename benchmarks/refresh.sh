@@ -30,6 +30,7 @@ run 1500 python benchmarks/vpu_probe.py
 run 1500 python benchmarks/mosaic_butterfly_ab.py
 run 1500 python benchmarks/mosaic_df_bfly_ab.py
 run 1500 python benchmarks/fft_profile.py
+run 2400 python benchmarks/ntt_pack_ab.py
 run 580 python bench.py
 run 1200 env HEXL_TPU_NTT_BACKEND=pallas python bench.py
 run 1200 python benchmarks/eltwise_approx_ab.py

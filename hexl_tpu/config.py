@@ -173,6 +173,28 @@ def fft_radix():
     return ra, rb
 
 
+def ntt_pack() -> str:
+    """Batch-pack the XLA NTT phase-B walk into full 128-lane tiles
+    (the fft_pack scheme applied to the integer limb planes — for
+    N < 2^14 the transposed phase-B minor dim lane_l = N/128 < 128
+    under-fills the lane tile). Pure lane permutation, bit-identical.
+
+    Modes: 'auto' (default — pack only the size classes where the A/B
+    measured a win: lane_l in {32, 64}, i.e. N in {2^12, 2^13}, TPU
+    only; benchmarks/ntt_pack_ab.py 2026-08-20: 2^13/60-bit pair
+    9.81 -> 4.71 us (a pre-existing off-trend cliff), 2^12/49-bit
+    -11%, but 2^10 is 12% SLOWER packed — the kb=16 pack shuffle costs
+    more than the padding there), '1' (every lane_l < 128), '0' (off).
+    """
+    v = os.environ.get("HEXL_TPU_NTT_PACK", "").strip()
+    if not v:
+        return "auto"
+    if v not in ("0", "1"):
+        raise ValueError(
+            f"HEXL_TPU_NTT_PACK must be 0 or 1; got {v!r}")
+    return v
+
+
 def fft_pack() -> bool:
     """Batch-pack the DF FFT phase-B walk into full 128-lane tiles.
 
@@ -223,9 +245,10 @@ def trace_config() -> tuple:
     runner). Every jit cache in the package includes this in its key, so
     toggling an env switch mid-process (an in-process A/B) retraces
     instead of silently reusing the first-traced configuration."""
-    return (ntt_backend(), ntt_radix(), fft_radix(), fft_backend(),
-            fft_pack(), approx_butterflies(), force_pallas_eltwise(),
-            dist_overlap_slices(), default_backend())
+    return (ntt_backend(), ntt_radix(), ntt_pack(), fft_radix(),
+            fft_backend(), fft_pack(), approx_butterflies(),
+            force_pallas_eltwise(), dist_overlap_slices(),
+            default_backend())
 
 
 def approx_butterflies() -> bool:

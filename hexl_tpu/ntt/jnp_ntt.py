@@ -205,6 +205,59 @@ def _untranspose_tiles(x: U64, rows: int) -> U64:
     return U64(t(x.hi), t(x.lo))
 
 
+def _pack_b(x: U64, kb: int, lane_l: int) -> U64:
+    """(B, rows, 128) -> (B/kb, 1, 128, kb*L): the tile transpose with
+    kb polynomials packed side by side into the lane axis. For
+    lane_l < 128 the plain transposed layout wastes (128-lane_l)/128
+    of every vector op and HBM tile on padding; packing restores full
+    tiles at the SAME materialization count (replaces _transpose_tiles;
+    pure lane permutation, bit-identical — the fft_like._t_pack_b
+    scheme, measured there as the main small-N lever)."""
+    def t(p):
+        b = p.shape[0] // kb
+        v = p.reshape(b, kb, lane_l, LANES)
+        return v.transpose(0, 3, 1, 2).reshape(b, 1, LANES, kb * lane_l)
+    return U64(t(x.hi), t(x.lo))
+
+
+def _unpack_b(x: U64, kb: int, lane_l: int) -> U64:
+    """Inverse of _pack_b: (B/kb, 1, 128, kb*L) -> (B, rows, 128)."""
+    def t(p):
+        b = p.shape[0]
+        v = p.reshape(b, LANES, kb, lane_l).transpose(0, 2, 3, 1)
+        return v.reshape(b * kb, lane_l, LANES)
+    return U64(t(x.hi), t(x.lo))
+
+
+def _tile_stages_b(stages, kb: int):
+    """Tile phase-B stage tables (1, nb, L) -> (1, nb, kb*L) for the
+    packed walk (packed lane j*L + l carries poly j's element l, which
+    consumes the same twiddle as the unpacked element l)."""
+    def rep(p):
+        return jnp.tile(p, (1, 1, kb))
+    return [(m, t, U64(rep(w.hi), rep(w.lo)),
+             U64(rep(wp.hi), rep(wp.lo))) for m, t, w, wp in stages]
+
+
+def _pack_kb_ntt(x: U64, tiles: int, lane_l: int) -> int:
+    """Packing factor for the phase-B walk, or 1 when inapplicable
+    (multi-tile layouts, no single flat batch axis, batch not
+    divisible, packing disabled). In 'auto' mode only the measured-win
+    size classes pack (config.ntt_pack)."""
+    from .. import config as _config
+    mode = _config.ntt_pack()
+    if tiles != 1 or lane_l >= LANES or mode == "0":
+        return 1
+    if mode == "auto" and (lane_l not in (32, 64)
+                           or _config.default_backend() != "tpu"):
+        return 1
+    lead = x.lo.shape[:-2]
+    if len(lead) != 1:
+        return 1
+    kb = LANES // lane_l
+    return kb if lead[0] % kb == 0 else 1
+
+
 def _bcast_w(w: U64, extra_dims: int, pos: str) -> U64:
     """Insert broadcast axes into a twiddle table.
 
@@ -412,9 +465,17 @@ def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
                                    fwd_bfly))
         i += log_k
     # Phase B: transpose tiles, strides 64..1 pair sublane blocks.
-    x = _transpose_tiles(x, tiles, lane_l)
+    # For lane_l < 128 the transposed minor dim under-fills the lane
+    # tile; pack kb = 128/lane_l polys side by side instead
+    # (config.ntt_pack) — same materialization count, full tiles.
+    kb = _pack_kb_ntt(x, tiles, lane_l)
+    if kb > 1:
+        x = _pack_b(x, kb, lane_l)
+        stages_b = _tile_stages_b(list(fwd_b), kb)
+    else:
+        x = _transpose_tiles(x, tiles, lane_l)
+        stages_b = list(fwd_b)
     c_axis = x.lo.ndim - 2
-    stages_b = list(fwd_b)
     i = 0
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
@@ -436,7 +497,10 @@ def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
         x = join(*_fwd_radixk_step(es, wparts, wpparts, q, two_q,
                                    fwd_bfly))
         i += log_k
-    x = _untranspose_tiles(x, rows)
+    if kb > 1:
+        x = _unpack_b(x, kb, lane_l)
+    else:
+        x = _untranspose_tiles(x, rows)
     x = _fwd_fixup(x, scheme, two_q)
     return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 
@@ -557,10 +621,16 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
     _, inv_bfly, scheme = _bflys3(lean_ok, lean16_ok)
     fin_stage = (_final_inv_stage_lean4 if scheme == "lean16"
                  else _final_inv_stage_fin)
-    # Phase B first (strides 1..64) in the transposed layout.
-    x = _transpose_tiles(x, tiles, lane_l)
+    # Phase B first (strides 1..64) in the transposed layout; packed
+    # into full lane tiles when lane_l < 128 (see fwd_body_2d).
+    kb = _pack_kb_ntt(x, tiles, lane_l)
+    if kb > 1:
+        x = _pack_b(x, kb, lane_l)
+        stages_b = _tile_stages_b(list(inv_b), kb)
+    else:
+        x = _transpose_tiles(x, tiles, lane_l)
+        stages_b = list(inv_b)
     c_axis = x.lo.ndim - 2
-    stages_b = list(inv_b)
     i = 0
     while i < len(stages_b):
         m, t, w, wp = stages_b[i]
@@ -582,7 +652,10 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
         x = join(*_inv_radixk_step(es, wparts, wpparts, q, two_q,
                                    inv_bfly))
         i += log_k
-    x = _untranspose_tiles(x, rows)
+    if kb > 1:
+        x = _unpack_b(x, kb, lane_l)
+    else:
+        x = _untranspose_tiles(x, rows)
     # Phase A (strides 128 .. N/4) on row blocks.
     row_axis = x.lo.ndim - 2
     stages_a = list(inv_a)

@@ -357,6 +357,32 @@ def test_radix4_walker_bit_exact(monkeypatch):
         monkeypatch.setattr(_cfg, "ntt_radix", lambda: 2)
 
 
+def test_packed_phase_b_bit_exact(monkeypatch):
+    """The lane-packed phase-B walk (HEXL_TPU_NTT_PACK — kb = 128/lane_l
+    polys folded into the lane axis for N < 2^14) is a pure lane
+    permutation: outputs must be BIT-identical to the transposed walk,
+    for both directions, across radixes and non-divisible batches
+    (which fall back to the unpacked walk)."""
+    import hexl_tpu.config as _cfg
+    from hexl_tpu.ntt import get_plan, jnp_ntt
+    from hexl_tpu.limb import from_limbs, to_limbs
+    for n, bits, batch in ((1 << 10, 60, 32), (1 << 12, 49, 8),
+                           (1 << 12, 49, 6), (1 << 13, 60, 4)):
+        q = nt.generate_primes(1, bits, True, ntt_size=n)[0]
+        plan = get_plan(n, q)
+        rng = np.random.default_rng(n + batch)
+        x = rng.integers(0, 4 * q, size=(batch, n), dtype=np.uint64)
+        xi = rng.integers(0, 2 * q, size=(batch, n), dtype=np.uint64)
+        res = {}
+        for pack in ("0", "1"):
+            monkeypatch.setattr(_cfg, "ntt_pack", lambda p=pack: p)
+            res[pack] = (
+                from_limbs(jnp_ntt.fwd_ntt(to_limbs(x), plan, 4, 4)),
+                from_limbs(jnp_ntt.inv_ntt(to_limbs(xi), plan, 2, 2)))
+        np.testing.assert_array_equal(res["1"][0], res["0"][0])
+        np.testing.assert_array_equal(res["1"][1], res["0"][1])
+
+
 def test_pallas_chunked_writeback_body(monkeypatch):
     """The chunked writeback bodies (the only form that fits scoped vmem
     at N=2^16) must match the oracle; _FORCE_REFS exercises them at a
