@@ -11,6 +11,6 @@ cd "$(dirname "$0")/.."
 fail=0
 for f in tests/test_*.py; do
   echo "=== $f ==="
-  HEXL_TPU_TEST_PLATFORM=tpu timeout 1200 python -m pytest "$f" -q || fail=1
+  HEXL_TPU_TEST_PLATFORM=tpu timeout 2400 python -m pytest "$f" -q || fail=1
 done
 exit $fail

@@ -168,6 +168,7 @@ def test_dist_overlap_variant_matches_blocking(slices):
     """The sliced (overlapped) cross phase must agree bit-for-bit with the
     blocking single-exchange variant on the same mesh (VERDICT #4: both
     variants validated on the emulated mesh before a pod shows up)."""
+    _require_devices(8)
     n = 1 << 13
     q = nt.generate_primes(1, 50, True, ntt_size=n)[0]
     mesh = make_mesh(4, 2)
@@ -186,6 +187,7 @@ def test_dist_overlap_variant_matches_blocking(slices):
 def test_dist_dyadic_multiply_matches_single_chip():
     """Coefficient-sharded dyadic ct x ct product == single-chip result
     (element-wise op: sharding must be pure placement, no value change)."""
+    _require_devices(8)
     from hexl_tpu.experimental import dyadic_multiply
     from hexl_tpu.parallel import dist_dyadic_multiply, make_mesh
 
@@ -205,6 +207,7 @@ def test_dist_dyadic_multiply_matches_single_chip():
 def test_dist_key_switch_matches_single_chip():
     """The mesh-sharded key switch is bit-equal to the single-chip
     composite (same lazy-range chaining, NTTs through DistNTT)."""
+    _require_devices(8)
     from hexl_tpu.experimental import key_switch
     from hexl_tpu.parallel import dist_key_switch, make_mesh
 

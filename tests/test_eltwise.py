@@ -72,16 +72,31 @@ def test_fma_mod(imf, with_arg3):
 
 @pytest.mark.parametrize("q_bits", [30, 50, 61])
 def test_reduce_mod(q_bits):
+    from hexl_tpu import config as _cfg
     q = nt.generate_primes(1, q_bits, True)[0]
     rng = _rng("reduce", q_bits)
     x = rng.integers(0, 1 << 63, size=1024, dtype=np.uint64)
+    approx = (_cfg.default_backend() == "tpu"
+              and not _cfg.approx_mulhi_disabled())
     for imf, omf in [(q, 1), (q, 2), (2, 1), (4, 1), (4, 2), (2, 2)]:
         xin = x if imf == q else rng.integers(0, imf * q, size=1024,
                                               dtype=np.uint64)
-        np.testing.assert_array_equal(
-            eltwise_reduce_mod(xin, q, imf, omf),
-            ref.eltwise_reduce_mod(xin, q, imf, omf),
-            err_msg=f"imf={imf} omf={omf}")
+        got = np.asarray(eltwise_reduce_mod(xin, q, imf, omf))
+        exp = ref.eltwise_reduce_mod(xin, q, imf, omf)
+        if imf == q and omf == 2 and approx:
+            # The TPU backend's approximate-quotient Barrett
+            # (limb.barrett_reduce_u64_approx) contracts mod-q equality
+            # and the [0, 2q) range for lazy outputs, not the exact
+            # form's representative (the reference AVX512 lazy-output
+            # semantics; ~50% of 30-bit inputs land one q higher).
+            # Fully-reduced outputs (omf=1) stay bit-identical below.
+            assert np.all(got < np.uint64(2 * q))
+            np.testing.assert_array_equal(
+                got % np.uint64(q), exp % np.uint64(q),
+                err_msg=f"imf={imf} omf={omf} (mod-q)")
+        else:
+            np.testing.assert_array_equal(
+                got, exp, err_msg=f"imf={imf} omf={omf}")
 
 
 @pytest.mark.parametrize("cmp", ref.ALL_CMPS)

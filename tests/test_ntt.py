@@ -55,13 +55,14 @@ def test_mod_factor_matrix(n, q_bits):
     rop, irop = ntt.plan.rop, ntt.plan.irop
     prop, pirop = ntt.plan.prop, ntt.plan.pirop
 
-    # On the Pallas path (TPU) lazy outputs use approximate-mulhi Shoup
-    # butterflies: values agree mod q within the declared range but not
-    # bit-for-bit — the reference's own AVX512 testing model (reduce % q
-    # and check the range, test-ntt-avx512.cpp:377-387). The portable
-    # path is bit-exact.
+    # On the TPU backend lazy outputs use approximate-mulhi Shoup
+    # butterflies (BOTH the XLA-staged default and the Pallas kernels
+    # since round 3): values agree mod q within the declared range but
+    # not bit-for-bit — the reference's own AVX512 testing model
+    # (reduce % q and check the range, test-ntt-avx512.cpp:377-387).
+    # The exact path (CPU, or HEXL_TPU_DISABLE_APPROX=1) is bit-exact.
     from hexl_tpu import config as _cfg
-    lazy_exact = not (_cfg.use_pallas() and ntt.plan.rows is not None)
+    lazy_exact = not _cfg.approx_butterflies()
 
     def check(got, exp, omf_bound, msg):
         got = np.asarray(got)

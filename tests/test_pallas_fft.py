@@ -30,7 +30,49 @@ def _mk(n, batch, seed=0):
     return z, cdf_from_complex128(z)
 
 
-@pytest.mark.parametrize("n", [1024, 4096, 8192])
+def test_block_kb():
+    """Blocks cap at 128 sublane-rows and divide the batch."""
+    assert _block_kb(32, 32) == 4
+    assert _block_kb(32, 8) == 16
+    assert _block_kb(3, 32) == 3
+    assert _block_kb(5, 64) == 1
+    assert _block_kb(1, 8) == 1
+
+
+def test_fft_backend_dispatch(monkeypatch):
+    """config.fft_backend routes FFTLike's DF bodies: 'pallas' engages
+    the fused kernel for n <= PALLAS_FFT_MAX_N only; invalid values
+    raise; default on CPU is 'xla'."""
+    from hexl_tpu import config
+
+    assert config.fft_backend() in ("xla", "pallas")
+    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "mosaic")
+    with pytest.raises(ValueError):
+        config.fft_backend()
+
+    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "pallas")
+    assert config.fft_backend() == "pallas"
+    small = FL.FFTLike(4096, precision="double_float")
+    big = FL.FFTLike(2 * PALLAS_FFT_MAX_N, precision="double_float")
+    assert small._use_pallas_fft()
+    assert not big._use_pallas_fft()
+    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "xla")
+    assert not small._use_pallas_fft()
+
+    # Dispatch produces DF-accurate results end-to-end (forward()):
+    # the pallas- and xla-routed DF paths must agree (NOT compared to a
+    # precision="f64" oracle here — on the TPU leg x64 is off and that
+    # oracle silently truncates to complex64, the known DF-probe trap).
+    z, _ = _mk(4096, 2, seed=5)
+    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "pallas")
+    got = FL.FFTLike(4096, precision="double_float").forward(z)
+    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "xla")
+    exp = FL.FFTLike(4096, precision="double_float").forward(z)
+    rel = np.max(np.abs(got - exp)) / np.max(np.abs(exp))
+    assert rel < 1e-12, rel
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
 @pytest.mark.parametrize("batch", [1, 6])
 def test_fused_fft_matches_xla_walk(n, batch):
     import jax
@@ -67,41 +109,3 @@ def test_fused_fft_oracle_roundtrip():
     dec = jax.jit(lambda c, f=fft: fwd_fft_df(c, f, f._inv_scale_df))(enc)
     rel = np.max(np.abs(cdf_to_complex128(dec) - z)) / np.max(np.abs(z))
     assert rel < 1e-11, rel
-
-
-def test_fft_backend_dispatch(monkeypatch):
-    """config.fft_backend routes FFTLike's DF bodies: 'pallas' engages
-    the fused kernel for n <= PALLAS_FFT_MAX_N only; invalid values
-    raise; default on CPU is 'xla'."""
-    from hexl_tpu import config
-
-    assert config.fft_backend() in ("xla", "pallas")
-    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "mosaic")
-    with pytest.raises(ValueError):
-        config.fft_backend()
-
-    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "pallas")
-    assert config.fft_backend() == "pallas"
-    small = FL.FFTLike(4096, precision="double_float")
-    big = FL.FFTLike(2 * PALLAS_FFT_MAX_N, precision="double_float")
-    assert small._use_pallas_fft()
-    assert not big._use_pallas_fft()
-    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "xla")
-    assert not small._use_pallas_fft()
-
-    # Dispatch produces DF-accurate results end-to-end (forward()).
-    monkeypatch.setenv("HEXL_TPU_FFT_BACKEND", "pallas")
-    z, _ = _mk(4096, 2, seed=5)
-    got = FL.FFTLike(4096, precision="double_float").forward(z)
-    exp = FL.FFTLike(4096, precision="f64").forward(z)
-    rel = np.max(np.abs(got - exp)) / np.max(np.abs(exp))
-    assert rel < 1e-12, rel
-
-
-def test_block_kb():
-    """Blocks cap at 128 sublane-rows and divide the batch."""
-    assert _block_kb(32, 32) == 4
-    assert _block_kb(32, 8) == 16
-    assert _block_kb(3, 32) == 3
-    assert _block_kb(5, 64) == 1
-    assert _block_kb(1, 8) == 1

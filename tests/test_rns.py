@@ -1,8 +1,15 @@
 """Stacked multi-modulus (RNS) NTT — bit-exactness vs per-modulus singles.
 
 The stacked path (ntt/rns.py) must be position-for-position identical to
-looping single-modulus transforms, including lazy output ranges, on both
-the small-N flat body and the 2D staged body (radix-2 and radix-4 regions).
+looping single-modulus transforms on both the small-N flat body and the
+2D staged body. Fully-reduced outputs are bit-identical everywhere;
+LAZY outputs are bit-identical only where the two paths trace the same
+butterfly scheme — under the TPU backend's approximate-quotient
+butterflies the per-regime dispatch can differ between the stacked
+group and a single transform, so lazy outputs are judged mod q within
+the contract range there (the reference's own AVX512 lazy-output
+testing model, test-ntt-avx512.cpp:377-387; measured on-device: all
+values mod-q equal and in range, 2026-08-20).
 """
 
 import numpy as np
@@ -12,6 +19,21 @@ from hexl_tpu import nt
 from hexl_tpu.limb import from_limbs, to_limbs
 from hexl_tpu.ntt import RnsNTT, get_plan, jnp_ntt
 from hexl_tpu.ntt.rns import RnsNttPlan
+
+
+def _assert_matches(got, exp, q, omf):
+    got = np.asarray(got)
+    if omf == 1 or not _approx_lazy():
+        np.testing.assert_array_equal(got, exp)
+        return
+    assert got.max() < np.uint64(omf) * np.uint64(q)
+    np.testing.assert_array_equal(got % np.uint64(q), exp % np.uint64(q))
+
+
+def _approx_lazy():
+    from hexl_tpu import config
+    return (config.default_backend() == "tpu"
+            and not config.approx_mulhi_disabled())
 
 
 def _basis(n, bit_sizes):
@@ -36,7 +58,7 @@ def test_rns_forward_matches_singles(n):
         for i, q in enumerate(moduli):
             plan = get_plan(n, q)
             yi = from_limbs(jnp_ntt.fwd_ntt(to_limbs(x[i]), plan, imf, omf))
-            np.testing.assert_array_equal(y[i], yi)
+            _assert_matches(y[i], yi, q, omf)
 
 
 @pytest.mark.parametrize("n", [256, 2048, 8192])
@@ -51,7 +73,7 @@ def test_rns_inverse_matches_singles(n):
         for i, q in enumerate(moduli):
             plan = get_plan(n, q)
             zi = from_limbs(jnp_ntt.inv_ntt(to_limbs(y[i]), plan, imf, omf))
-            np.testing.assert_array_equal(z[i], zi)
+            _assert_matches(z[i], zi, q, omf)
 
 
 def test_rns_roundtrip():
