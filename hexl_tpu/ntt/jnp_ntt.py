@@ -126,21 +126,61 @@ def _inv_butterfly_lean4(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
     return tx, cond_sub64_half(r, four_q)          # [0,4q)
 
 
+def _fwd_butterfly_lean8(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                         two_q: U64):
+    """Forward butterfly on the widened [0,8q) invariant (q < 2^61):
+    TWO range-halving conditional subtracts (the classic 'lean' form
+    needs three; lean16's single-halver form needs 16q < 2^64 and is
+    out of reach here).
+
+    The Shoup quotient bound holds for ANY 64-bit multiplicand, so ys
+    in [0,8q) feeds the multiply unreduced; the raw e<=6 product lies
+    in [0,8q) and is halved once to [0,4q), the X leg halved once
+    [0,8q) -> [0,4q), and both outputs land back in [0,8q). Bodies
+    using this scheme must reduce the final output [0,8q) -> [0,4q) to
+    restore the OMF=4 contract (one halver, paid once per transform)."""
+    four_q = add64(two_q, two_q)          # stage-invariant; hoisted
+    tx = cond_sub64_half(xs, four_q)               # [0,8q) -> [0,4q)
+    q_hat = mulhi64_approx6(ys, wp)
+    t = sub64(mullo64(ys, w), mullo64(q_hat, q))   # [0,8q)
+    t = cond_sub64_half(t, four_q)                 # [0,4q)
+    return add64(tx, t), sub64(add64(tx, four_q), t)
+
+
+def _inv_butterfly_lean8(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
+                         two_q: U64):
+    """Inverse butterfly on the widened [0,8q) invariant (q < 2^60):
+    ONE range-halving conditional subtract. The sum xs + ys lies in
+    [0,16q) (fits u64 while q < 2^60) and is halved once; ty needs no
+    reduction (any u64 is a valid Shoup multiplicand) and the raw e<=6
+    product in [0,8q) already satisfies the invariant. Bodies using
+    this scheme must run a final stage that accepts [0,8q) inputs
+    (_final_inv_stage_lean8)."""
+    four_q = add64(two_q, two_q)
+    eight_q = add64(four_q, four_q)
+    tx = cond_sub64_half(add64(xs, ys), eight_q)   # [0,16q) -> [0,8q)
+    ty = sub64(add64(xs, eight_q), ys)             # (0,16q)
+    q_hat = mulhi64_approx6(ty, wp)
+    return tx, sub64(mullo64(ty, w), mullo64(q_hat, q))  # [0,8q)
+
+
 def _bflys3(lean_ok: bool, lean16_ok: bool):
     """(fwd_bfly, inv_bfly, scheme) for the XLA bodies.
 
-    scheme: 'lean16' (fwd invariant [0,16q) / inv [0,4q), q < 2^60),
-    'lean' (the round-3 e<=6 butterflies with classic [0,4q)/[0,2q)
-    invariants, q < 2^61), or 'exact' (bit-exact Harvey oracle path).
-    The widened invariants change lazy-range values (mod-q equal), same
-    caveat as 'lean'; bodies must apply the matching final fixups."""
+    scheme: 'lean16' (fwd invariant [0,16q) / inv [0,8q), one halver
+    per butterfly each direction, q < 2^60), 'lean8' (fwd [0,8q) / inv
+    [0,4q), two halvers each direction, q < 2^61 — the widest family
+    the e<=6 raw Shoup range 8q fits 64 bits for), or 'exact' (the
+    bit-exact Harvey oracle path, also the q >= 2^61 fallback).
+    The widened invariants change lazy-range values (mod-q equal);
+    bodies must apply the matching final fixups/final stages."""
     from .. import config as _config
     if not _config.approx_butterflies():
         return _fwd_butterfly, _inv_butterfly, "exact"
     if lean16_ok:
-        return _fwd_butterfly_lean16, _inv_butterfly_lean4, "lean16"
+        return _fwd_butterfly_lean16, _inv_butterfly_lean8, "lean16"
     if lean_ok:
-        return _fwd_butterfly_approx, _inv_butterfly_approx, "lean"
+        return _fwd_butterfly_lean8, _inv_butterfly_lean4, "lean8"
     return _fwd_butterfly, _inv_butterfly, "exact"
 
 
@@ -300,13 +340,15 @@ def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
 
 def _fwd_fixup(x: U64, scheme: str, two_q: U64) -> U64:
     """Restore the forward OMF=4 output contract [0,4q) from the body's
-    internal invariant ([0,16q) under lean16): two range halvers, paid
-    once per transform."""
-    if scheme != "lean16":
-        return x
-    four_q = add64(two_q, two_q)
-    eight_q = add64(four_q, four_q)
-    return cond_sub64_half(cond_sub64_half(x, eight_q), four_q)
+    internal invariant ([0,16q) under lean16, [0,8q) under lean8):
+    one or two range halvers, paid once per transform."""
+    if scheme == "lean16":
+        four_q = add64(two_q, two_q)
+        eight_q = add64(four_q, four_q)
+        return cond_sub64_half(cond_sub64_half(x, eight_q), four_q)
+    if scheme == "lean8":
+        return cond_sub64_half(x, add64(two_q, two_q))
+    return x
 
 
 def fwd_body_small(x: U64, q: U64, two_q: U64, n: int, rop_dev: U64,
@@ -542,7 +584,7 @@ def _final_inv_stage_fin(xs: U64, ys: U64, fin, q: U64,
 
 def _final_inv_stage_lean4(xs: U64, ys: U64, fin, q: U64,
                            two_q: U64) -> tuple:
-    """Final N^{-1}-fused stage for the lean4 scheme (inputs [0,4q)).
+    """Final N^{-1}-fused stage for the lean4 invariant (inputs [0,4q)).
 
     Exact Shoup multiplies land in [0,2q) for ANY 64-bit input, so the
     sums need no range control at all; only ty's additive constant must
@@ -554,6 +596,32 @@ def _final_inv_stage_lean4(xs: U64, ys: U64, fin, q: U64,
     nx = _shoup(tx, inv_n, inv_n_precon, q)
     ny = _shoup(ty, inv_n_w, inv_n_w_precon, q)
     return nx, ny
+
+
+def _final_inv_stage_lean8(xs: U64, ys: U64, fin, q: U64,
+                           two_q: U64) -> tuple:
+    """Final N^{-1}-fused stage for the lean8 inverse invariant (inputs
+    [0,8q), q < 2^60 so the 16q intermediate fits u64). Exact Shoup
+    multiplies accept any u64, so no range control is needed; outputs
+    land in the contract range [0,2q)."""
+    inv_n, inv_n_precon, inv_n_w, inv_n_w_precon = fin
+    four_q = add64(two_q, two_q)
+    eight_q = add64(four_q, four_q)
+    tx = add64(xs, ys)                      # < 16q; Shoup takes any u64
+    ty = sub64(add64(xs, eight_q), ys)      # (0,16q)
+    nx = _shoup(tx, inv_n, inv_n_precon, q)
+    ny = _shoup(ty, inv_n_w, inv_n_w_precon, q)
+    return nx, ny
+
+
+_FIN_STAGES = {"lean16": _final_inv_stage_lean8,
+               "lean8": _final_inv_stage_lean4}
+
+
+def _fin_stage_for(scheme: str):
+    """Final-stage variant matching the inverse body's internal
+    invariant ([0,8q) under lean16, [0,4q) under lean8, [0,2q) exact)."""
+    return _FIN_STAGES.get(scheme, _final_inv_stage_fin)
 
 
 def _plan_fin(plan: NttPlan):
@@ -578,8 +646,7 @@ def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
                    pirop_dev: U64, fin, lean_ok: bool = False,
                    lean16_ok: bool = False) -> U64:
     _, inv_bfly, scheme = _bflys3(lean_ok, lean16_ok)
-    fin_stage = (_final_inv_stage_lean4 if scheme == "lean16"
-                 else _final_inv_stage_fin)
+    fin_stage = _fin_stage_for(scheme)
     axis = x.lo.ndim - 1
     root_index = 1
     t = 1
@@ -619,8 +686,7 @@ def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,
     x = U64(x.hi.reshape(shape[:-1] + (rows, LANES)),
             x.lo.reshape(shape[:-1] + (rows, LANES)))
     _, inv_bfly, scheme = _bflys3(lean_ok, lean16_ok)
-    fin_stage = (_final_inv_stage_lean4 if scheme == "lean16"
-                 else _final_inv_stage_fin)
+    fin_stage = _fin_stage_for(scheme)
     # Phase B first (strides 1..64) in the transposed layout; packed
     # into full lane tiles when lane_l < 128 (see fwd_body_2d).
     kb = _pack_kb_ntt(x, tiles, lane_l)
