@@ -333,9 +333,12 @@ def main():
                    (a2,), iters))
 
     # ---- Single-limb fast path (q < 2^30, the DQ-32 regime) ----
+    # Raced against the reference's own BitShift=32 kernels (29-bit
+    # baseline rows, bench_reference.cpp) — its self-declared
+    # best-performance regime (/root/reference/README.md:202-204).
     if not args.quick:
         from hexl_tpu.ntt import ntt32
-        for n, batch in ((16384, 128), (1 << 17, 16)):
+        for n, batch in ((1 << 10, 1024), (16384, 128), (1 << 17, 16)):
             q = nt.generate_primes(1, 29, True, ntt_size=n)[0]
             plan = get_plan(n, q)
             x32 = jax.numpy.asarray(
@@ -348,8 +351,12 @@ def main():
             pair32 = jax.jit(lambda v, p=plan: jax.lax.scan(
                 lambda c, _: (i32(f32(c, p, 1, 1), p, 1, 1), None),
                 v, None, length=CHAIN)[0])
+            base_pair32 = ((baseline.get(("fwd_ntt", n, 29)) or 0)
+                           + (baseline.get(("inv_ntt", n, 29)) or 0)) \
+                or None
             record("fwd+inv_ntt32_pair", n, 29, batch,
-                   _time_dispatch(pair32, (x32,), iters))
+                   _time_dispatch(pair32, (x32,), iters),
+                   base_us=base_pair32)
 
     # ---- Large-N NTTs (hierarchical two-kernel path) ----
     if not args.quick:

@@ -110,7 +110,8 @@ def _probe():
     if not p.exists():
         return None
     data = json.loads(p.read_text())
-    return {r["name"]: r["rate_e9"] for r in data["rows"]}
+    return ({r["name"]: r["rate_e9"] for r in data["rows"]},
+            {r["name"]: r.get("note") for r in data["rows"]})
 
 
 def mfu_summary(rows):
@@ -122,8 +123,17 @@ def mfu_summary(rows):
     probe = _probe()
     if not fwd or not inv or not probe:
         return "(headline rows or vpu_probe_results.json missing)"
-    bfly_chain = probe.get("thru lean16 fwd butterfly")
-    mul_rate = probe.get("thru u32 mul (x*x)")
+    rates, notes = probe
+    scheme = notes.get("headline_scheme")
+    fwd_chain = rates.get(f"thru {scheme} fwd butterfly (selected)")
+    inv_chain = rates.get(f"thru {scheme} inv butterfly (selected)")
+    mul_rate = rates.get("thru u32 mul (x*x)")
+    if not scheme or not fwd_chain or not inv_chain:
+        return ("(vpu_probe_results.json predates the selected-scheme "
+                "probe — rerun benchmarks/vpu_probe.py)")
+    # A fwd+inv pair runs equal butterfly counts of each direction ->
+    # harmonic mean of the two measured chain rates is the denominator.
+    bfly_chain = 2.0 / (1.0 / fwd_chain + 1.0 / inv_chain)
     n = 16384
     pair_us = fwd["us_per_call"] + inv["us_per_call"]
     pairs_per_sec = 1e6 / pair_us
@@ -135,18 +145,21 @@ def mfu_summary(rows):
         f"{pair_us:.2f} us/pair = {pairs_per_sec:,.0f} pairs/s x "
         f"{bfly_per_pair:,} butterflies/pair = **{bfly_rate:.2f} G "
         f"butterflies/s = {100*bfly_rate/bfly_chain:.0f}% of the "
-        f"pure lean16 butterfly chain rate** ({bfly_chain:.2f} Gbfly/s, "
-        f"benchmarks/vpu_probe_results.json). That chain itself runs at "
-        f"the machine's sustained issue throughput ({mul_rate/1e3:.2f} T "
-        f"lane-ops/s; one butterfly lowers to ~{issues_per_bfly:.0f} "
-        f"issue-equivalents), and the probe's independent-chain latency "
-        f"regime shows the batched body is throughput-bound, not "
-        f"latency-bound — ILP restructuring cannot raise it. Remaining "
-        f"headroom is (a) the {100*(1-bfly_rate/bfly_chain):.0f}% "
-        f"stage-layout gap and (b) butterfly issue count; the "
-        f"quotient-side error budget is exhausted at e<=6 "
-        f"(docs/ROADMAP.md), so the residual multiply mass is the three "
-        f"exact 32x32 high halves the low-64 products require.")
+        f"selected-scheme ('{scheme}', the scheme _bflys3 picks for the "
+        f"headline prime) butterfly chain rate** (harmonic mean of the "
+        f"measured fwd {fwd_chain:.2f} / inv {inv_chain:.2f} Gbfly/s "
+        f"chains, benchmarks/vpu_probe_results.json). That chain itself "
+        f"runs at the machine's sustained issue throughput "
+        f"({mul_rate/1e3:.2f} T lane-ops/s; one butterfly lowers to "
+        f"~{issues_per_bfly:.0f} issue-equivalents), and the probe's "
+        f"independent-chain latency regime shows the batched body is "
+        f"throughput-bound, not latency-bound — ILP restructuring cannot "
+        f"raise it. Remaining headroom is (a) the "
+        f"{100*(1-bfly_rate/bfly_chain):.0f}% stage-layout gap and (b) "
+        f"butterfly issue count; the error-budget/halver trade at this "
+        f"family is measured in benchmarks/butterfly_variants_ab.py, and "
+        f"the residual multiply mass is the three exact 32x32 high "
+        f"halves the low-64 products require.")
 
 
 def batch_table(rows):

@@ -61,10 +61,12 @@ int main() {
     fflush(stdout);
   };
 
-  // Fwd+Inv NTT across sizes and modulus widths (IFMA range + DQ range).
+  // Fwd+Inv NTT across sizes and modulus widths: DQ-32 (q < 2^30, the
+  // reference's self-declared best-performance regime, README.md:202-204),
+  // IFMA (q < 2^50) and DQ-64.
   for (uint64_t log_n : {10, 12, 14, 17}) {
     uint64_t n = 1ULL << log_n;
-    for (uint64_t q_bits : {49, 60}) {
+    for (uint64_t q_bits : {29, 49, 60}) {
       uint64_t q = GeneratePrimes(1, q_bits, true, n)[0];
       NTT ntt(n, q);
       auto input = random_vec(n, q, 42);

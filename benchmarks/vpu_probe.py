@@ -168,7 +168,15 @@ def main():
     report("thru umul32_wide(x,x)", r, "widemul",
            f"= {mul_rate / r:.1f} mul-equivalents")
 
-    q_int = (1 << 60) - (1 << 14) + 1
+    # The butterfly chain is measured at the HEADLINE modulus with the
+    # scheme _bflys3 actually selects for it (the round-4 verdict found
+    # the probe pinning lean16 while the headline prime, in
+    # (2^60, 2^61), runs a different scheme — the MFU denominator must
+    # name and measure the selected butterflies, both directions).
+    from hexl_tpu import nt
+    from hexl_tpu.ntt import jnp_ntt as _j
+
+    q_int = int(nt.generate_primes(1, 60, True, ntt_size=1 << 14)[0])
     w_int = 0x0123456789ABCDE5 % q_int
     wp_int = (w_int << 64) // q_int
     q64, two_q = const64(q_int), const64(2 * q_int)
@@ -187,15 +195,34 @@ def main():
     shoup_rate = report("thru shoup lean (approx6) mul", r, "shoupmul",
                         f"= {mul_rate / r:.1f} mul-equivalents")
 
-    def bfly16_step(xy):
-        x, y = xy
-        for _ in range(2):
-            nx, ny = _fwd_butterfly_lean16(x, y, w64, wp64, q64, two_q)
-            x, y = ny, nx
-        return (x, y)
-    r = chain_rate(bfly16_step, (xu, xu), NELEM * 2)
-    bfly_rate = report("thru lean16 fwd butterfly", r, "bfly",
-                       f"= {mul_rate / r:.1f} mul-equivalents")
+    fwd_bfly, inv_bfly, scheme = _j._bflys3(
+        q_int < _j.LEAN_APPROX_MAX_Q, q_int < _j.LEAN16_MAX_Q)
+    print(f"headline prime q={q_int} ({q_int.bit_length()} bits) -> "
+          f"scheme '{scheme}'")
+    ROWS.append({"name": "headline_scheme", "rate_e9": None,
+                 "unit": "str", "note": scheme})
+
+    def bfly_step(bfly):
+        def step(xy):
+            x, y = xy
+            for _ in range(2):
+                nx, ny = bfly(x, y, w64, wp64, q64, two_q)
+                x, y = ny, nx
+            return (x, y)
+        return step
+    r = chain_rate(bfly_step(fwd_bfly), (xu, xu), NELEM * 2)
+    bfly_rate = report(f"thru {scheme} fwd butterfly (selected)", r,
+                       "bfly", f"= {mul_rate / r:.1f} mul-equivalents")
+    r = chain_rate(bfly_step(inv_bfly), (xu, xu), NELEM * 2)
+    ibfly_rate = report(f"thru {scheme} inv butterfly (selected)", r,
+                        "bfly", f"= {mul_rate / r:.1f} mul-equivalents")
+    # Reference point: the q<2^60 single-halver forward family.
+    r = chain_rate(bfly_step(_fwd_butterfly_lean16), (xu, xu), NELEM * 2)
+    report("thru lean16 fwd butterfly", r, "bfly",
+           f"= {mul_rate / r:.1f} mul-equivalents")
+    # Effective pair denominator: a fwd+inv pair runs equal counts of
+    # each direction -> harmonic mean of the two chain rates.
+    pair_bfly_rate = 2.0 / (1.0 / bfly_rate + 1.0 / ibfly_rate)
 
     # ---- 5. headline context -------------------------------------------
     res_file = pathlib.Path(__file__).parent / "tpu_results.json"
@@ -213,14 +240,17 @@ def main():
             headline = {
                 "pairs_per_s": round(pairs, 1),
                 "gbfly_per_s": round(bflys / 1e9, 2),
-                "pct_of_pure_bfly_chain": round(100 * bflys / bfly_rate, 1),
+                "scheme": scheme,
+                "pct_of_selected_bfly_chain": round(
+                    100 * bflys / pair_bfly_rate, 1),
                 "pct_of_mul_ceiling_24": round(
                     100 * bflys / (mul_rate / 24), 1),
             }
             print(f"\nheadline (committed JSON): {pairs:,.0f} pairs/s = "
                   f"{bflys/1e9:.2f} Gbfly/s = "
-                  f"{100*bflys/bfly_rate:.0f}% of the pure-butterfly "
-                  f"chain rate ({bfly_rate/1e9:.2f}), "
+                  f"{100*bflys/pair_bfly_rate:.0f}% of the selected "
+                  f"'{scheme}' fwd/inv butterfly chain rate (harmonic "
+                  f"mean {pair_bfly_rate/1e9:.2f} Gbfly/s), "
                   f"{100*bflys/(mul_rate/24):.0f}% of the 24-mul/bfly "
                   f"raw-multiply ceiling")
 

@@ -187,11 +187,11 @@ def ntt_pack() -> str:
     more than the padding there), '1' (every lane_l < 128), '0' (off).
     """
     v = os.environ.get("HEXL_TPU_NTT_PACK", "").strip()
-    if not v:
+    if not v or v == "auto":
         return "auto"
     if v not in ("0", "1"):
         raise ValueError(
-            f"HEXL_TPU_NTT_PACK must be 0 or 1; got {v!r}")
+            f"HEXL_TPU_NTT_PACK must be 0, 1 or auto; got {v!r}")
     return v
 
 

@@ -125,7 +125,19 @@ def _run(x: CDF, fft, scalar, forward: bool) -> CDF:
     if scalar is None:
         scal_np = None
     elif isinstance(scalar, DF):
-        scal_np = _np_df(float(df_to_f64(scalar)))
+        # The kernel consumes the scalar as numpy literals re-split from
+        # one f64; a DF whose hi+lo carries more precision than one f64
+        # would be silently altered relative to the XLA walk (which
+        # consumes the DF form directly) — reject it instead.
+        f = float(df_to_f64(scalar))
+        rt = _np_df(f)
+        if (float(np.asarray(scalar.hi)) != float(rt.hi)
+                or float(np.asarray(scalar.lo)) != float(rt.lo)):
+            raise ValueError(
+                "pallas FFT backend requires a DF scalar exactly "
+                "representable as one f64 (hi+lo round-trip); use the "
+                "XLA backend for wider-than-f64 scalars")
+        scal_np = rt
     else:
         scal_np = _np_df(float(scalar))
     wf_np = None

@@ -297,6 +297,24 @@ def mulhi64_approx6(x: U64, y: U64) -> U64:
     return U64(p11h + k1 + k2, c64)
 
 
+def mulhi64_approx2(x: U64, y: U64) -> U64:
+    """floor(x*y / 2^64) - e with e in [0, 2].
+
+    Drops exactly the bit-32 column (p00.hi + p01.lo + p10.lo, whose
+    carry into bit 64 is at most 2) but keeps the cross-partial high
+    halves exact: 12 lane multiplies vs mulhi64's 16 and approx6's 10.
+    The tighter error bound buys butterflies a whole conditional
+    subtract relative to e<=6 (raw Shoup range [0,4q) instead of
+    [0,8q)); whether +2 multiplies for -1 halver wins is
+    toolchain-dependent — see benchmarks/butterfly_variants_ab.py."""
+    p01h = umul32_hi(x.lo, y.hi)
+    p10h = umul32_hi(x.hi, y.lo)
+    p11h, p11l = umul32_wide(x.hi, y.hi)
+    s, k1 = add32_carry(p01h, p10h)
+    c64, k2 = add32_carry(s, p11l)
+    return U64(p11h + k1 + k2, c64)
+
+
 def mulhi64_approx(x: U64, y: U64) -> U64:
     """High 64 bits of x*y, possibly 1 too small (error <= 1).
 

@@ -331,6 +331,36 @@ def test_fft_like_2d_staged_matches_flat():
     np.testing.assert_allclose(dec, z, rtol=1e-8, atol=1e-8)
 
 
+def test_fft_pack_phase_b_bit_exact(monkeypatch):
+    """The lane-packed FFT phase-B walk (config.fft_pack — kb = 128/L
+    polys folded into the lane axis for n < 2^14) is a pure lane
+    permutation: outputs must be BIT-identical to the transposed walk,
+    both directions, across sizes and a non-divisible batch (which
+    falls back to the unpacked walk). Mirrors the NTT analogue
+    (test_packed_phase_b_bit_exact); pack defaults off when the backend
+    is not TPU, so without forcing it here the CPU suite would never
+    execute the packed permutation."""
+    import hexl_tpu.config as _cfg
+    from hexl_tpu.experimental import fft_like as FL
+    from hexl_tpu.experimental.df32 import (cdf_from_complex128,
+                                            cdf_to_complex128)
+    for n, batch in ((1 << 10, 32), (1 << 12, 8), (1 << 12, 6),
+                     (1 << 13, 4)):
+        fft = FL.FFTLike(n, precision="double_float")
+        rng = np.random.default_rng(n + batch)
+        z = rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))
+        zc = cdf_from_complex128(z)
+        res = {}
+        for pack in (False, True):
+            monkeypatch.setattr(_cfg, "fft_pack", lambda p=pack: p)
+            res[pack] = (cdf_to_complex128(fft.df_fwd_body(zc)),
+                         cdf_to_complex128(fft.df_inv_body(zc)))
+        np.testing.assert_array_equal(res[True][0], res[False][0],
+                                      err_msg=f"fwd n={n} b={batch}")
+        np.testing.assert_array_equal(res[True][1], res[False][1],
+                                      err_msg=f"inv n={n} b={batch}")
+
+
 def test_df32_primitives():
     from hexl_tpu.experimental import df32 as D
     rng = np.random.default_rng(9)
