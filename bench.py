@@ -20,11 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _backend_answers(timeout_s: int = 240) -> bool:
+def _backend_answers(timeout_s: int = None) -> bool:
     """Probe the attached backend in a child process before importing jax
     here: a half-up TPU tunnel hangs (or silently kills) the process at
     the first dispatch, unrecoverably — fail fast with a clear error
-    instead of eating the caller's whole timeout budget."""
+    instead of eating the caller's whole timeout budget.
+    HEXL_TPU_PROBE_TIMEOUT widens the window on days the tunnel answers
+    only after several minutes (observed 2026-08-21)."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("HEXL_TPU_PROBE_TIMEOUT", "240"))
     import subprocess
     code = ("import jax, jax.numpy as jnp; "
             "assert int(jnp.arange(8, dtype=jnp.uint32).sum()) == 28")
