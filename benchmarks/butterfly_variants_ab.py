@@ -17,6 +17,16 @@ Protocol: chain-length differential (benchmarks/timing.py), throughput
 regime (4M lanes), identical to vpu_probe.py. Each step chains the
 butterfly with swapped outputs so the invariant is self-sustaining.
 
+VERDICT (measured 2026-08-21, committed JSON): forward e<=6 wins
+isolated (30.15 vs 27.12 Gbfly/s); inverse e<=2 wins ISOLATED by 1.20x
+(39.76 vs 33.13) but REGRESSES the full staged transform 16% (9.09-9.35
+vs 7.80 us/pair at 2^14/60b across radixes (16,16)/(32,16)/(16,32)/
+(32,32)) — the single-twiddle register-resident chain hides the
+table-load/layout interleaving where the halvers were hidden in idle
+issue slots and extra multiplies are not. Both directions therefore
+stay on the e<=6 quotient. Isolated-chain wins MUST be confirmed at
+body level before wiring.
+
 Usage: timeout 580 python benchmarks/butterfly_variants_ab.py
 """
 

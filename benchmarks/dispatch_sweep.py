@@ -33,7 +33,7 @@ HERE = pathlib.Path(__file__).resolve().parent
 RESULTS = HERE / "dispatch_sweep_results.json"
 
 LOG_NS = (10, 11, 12, 13, 14)
-RADIXES = ("2,2", "4,4", "4,8", "8,8", "8,4", "8,16")
+RADIXES = ("2,2", "4,4", "4,8", "8,8", "8,4", "8,16", "16,8", "16,16")
 BATCH = 256
 
 
@@ -88,7 +88,10 @@ def run_cell(log_n: int, q_bits: int):
         print(json.dumps(rows[-1]), flush=True)
         return rows
     packs = ("0", "1") if log_n < 14 else ("0",)
-    for radix in RADIXES:
+    # The bodies force radix (2,2) below n=2^13 (jnp_ntt._fwd_2d), so
+    # sweeping radix there would measure the same program repeatedly.
+    radixes = RADIXES if log_n >= 13 else ("2,2",)
+    for radix in radixes:
         os.environ["HEXL_TPU_NTT_RADIX"] = radix
         for pack in packs:
             os.environ["HEXL_TPU_NTT_PACK"] = pack
@@ -107,23 +110,24 @@ def main():
             json.dumps(rows))
         return
 
-    import jax  # noqa: F401  - orchestrator never dispatches
-
+    # NOTE: the orchestrator must NOT import jax — initializing the
+    # backend here would hold a device claim while the child processes
+    # dispatch (only one TPU process at a time on this tunnel).
     all_rows = []
     for log_n in LOG_NS:
         for q_bits in (29, 49, 60):
             cell = HERE / f"_cell_{log_n}_{q_bits}.json"
-            if cell.exists():
-                cell.unlink()
+            if cell.exists():  # resume: keep completed cells
+                all_rows.extend(json.loads(cell.read_text()))
+                continue
             r = subprocess.run(
                 [sys.executable, str(HERE / "dispatch_sweep.py"), "CELL",
                  str(log_n), str(q_bits)],
-                timeout=1800)
+                timeout=5400)
             if r.returncode != 0 or not cell.exists():
                 print(f"cell ({log_n}, {q_bits}) FAILED", file=sys.stderr)
                 continue
             all_rows.extend(json.loads(cell.read_text()))
-            cell.unlink()
 
     # Per-(n, q_bits) winner summary.
     best = {}

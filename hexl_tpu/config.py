@@ -99,24 +99,27 @@ def dist_overlap_slices() -> int:
 _VALID_RADIX = (2, 4, 8, 16, 32, 64, 128)
 
 
-def ntt_radix() -> tuple:
-    """Per-phase stage-walker radix for the XLA NTT bodies.
+def ntt_radix():
+    """Per-phase stage-walker radix override for the XLA NTT bodies.
 
-    Returns (phase_a_radix, phase_b_radix); the generic walker fuses
-    log2(radix) butterfly stages per HBM materialization (the XLA path
-    is stage-round-trip bound, so this divides phase traffic by the
-    fusion factor). HEXL_TPU_NTT_RADIX accepts one power of two in
-    [2, 128] for both phases or an "A,B" pair (e.g. "16,4").
-    Measured on v5e, N=2^14/60-bit pair, lean butterflies, dispatch-
-    overhead-corrected (chain-differential): radix 4 -> 10.8 us, 8 ->
-    10.8, "4,8" -> 10.3-10.5 (consistently best by a hair), 16/32 ->
-    11.2-12.2 (register pressure in the 16/32-block fused groups) —
-    "4,8" is the default.
-    N < 2^13 always walks radix-2 (fusion is neutral there).
+    Returns (phase_a_radix, phase_b_radix) from HEXL_TPU_NTT_RADIX
+    (one power of two in [2, 128] for both phases or an "A,B" pair,
+    e.g. "32,16"), or None when unset — the bodies then resolve the
+    MEASURED per-size TPU defaults (jnp_ntt._TPU_NTT_RADIX_DEFAULTS,
+    generated from benchmarks/dispatch_sweep_results.json; (2, 2) on
+    non-TPU backends, where fusion only bloats compile time). The
+    generic walker fuses log2(radix) butterfly stages per HBM
+    materialization. History: with the round-3 'lean' butterflies the
+    sweep favored "4,8" (16/32 lost to register pressure); the lighter
+    round-5 lean8 butterflies flipped it — (32,16) wins at 2^14
+    (7.80 vs 8.82 us/pair, dispatch_sweep 2026-08-21). Re-sweep per
+    toolchain/butterfly change. N < 2^13 always walks radix-2.
     The reference ships radix-4 for the same cache-traffic reason
     (hexl/ntt/ntt-radix-4.cpp).
     """
-    v = os.environ.get("HEXL_TPU_NTT_RADIX", "4,8").strip()
+    v = os.environ.get("HEXL_TPU_NTT_RADIX", "").strip()
+    if not v:
+        return None
     parts = v.split(",")
     if len(parts) == 1:
         parts = [parts[0], parts[0]]

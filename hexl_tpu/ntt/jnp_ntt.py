@@ -24,7 +24,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..limb import (U64, add64, cond_sub64_half, const64, mullo64,
-                    mulhi64, mulhi64_approx6, reduce_mod_lazy64, sub64)
+                    mulhi64, mulhi64_approx2, mulhi64_approx6,
+                    reduce_mod_lazy64, sub64)
 from .plan import LANES, MIN_2D_N, NttPlan
 
 # Largest modulus the lean approximate butterflies are valid for: their
@@ -117,7 +118,15 @@ def _inv_butterfly_lean4(xs: U64, ys: U64, w: U64, wp: U64, q: U64,
     """Inverse butterfly on the widened [0,4q) invariant (q < 2^61):
     TWO range-halving conditional subtracts (the classic form needs
     three). The Shoup input ty needs no reduction (any u64 is valid);
-    the raw e<=6 product in [0,8q) is halved once to [0,4q)."""
+    the raw e<=6 product in [0,8q) is halved once to [0,4q).
+
+    The e<=2 quotient alternative (mulhi64_approx2: raw in [0,4q), NO
+    post-multiply halver, +2 lane muls) measures 1.20x on the ISOLATED
+    inverse chain (benchmarks/butterfly_variants_ab.py 2026-08-21) but
+    REGRESSES the full staged transform 16% (9.09-9.35 vs 7.80 us/pair
+    at 2^14/60b across radixes) — the single-twiddle register-resident
+    chain hides the table-load/layout interleaving where the halver ops
+    were free and the extra multiplies are not. Kept on e<=6."""
     four_q = add64(two_q, two_q)
     tx = cond_sub64_half(add64(xs, ys), four_q)    # [0,8q) -> [0,4q)
     ty = sub64(add64(xs, four_q), ys)              # (0,8q)
@@ -452,8 +461,7 @@ def _inv_radixk_step(es, wparts, wpparts, q, two_q, bfly):
 
 
 def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
-    from .. import config as _config
-    radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
+    radix = ntt_radix_for(plan.n)
     return fwd_body_2d(x, q, two_q, plan.fwd_a, plan.fwd_b, plan.rows,
                        plan.tiles, plan.lane_l, radix,
                        lean_ok=plan.q < LEAN_APPROX_MAX_Q,
@@ -465,6 +473,35 @@ def _norm_radix(radix):
     if isinstance(radix, int):
         return radix, radix
     return radix
+
+
+# Measured per-size stage-fusion defaults for the TPU backend (upper
+# bound n -> (radix_a, radix_b)); generated from the committed
+# dispatch_sweep_results.json (benchmarks/dispatch_sweep.py). The
+# lean8 butterflies' lower register pressure moved the optimum deep:
+# at 2^14/60b (32,16) measures 7.80 us/pair vs 8.82 for the round-3
+# default (4,8); whole-phase fusion still collapses (128,128: 1013 us).
+_TPU_NTT_RADIX_DEFAULTS = (
+    (1 << 13, (8, 8)),
+    (1 << 62, (32, 16)),
+)
+
+
+def ntt_radix_for(n: int):
+    """Stage-walker radix for a degree-n body: the HEXL_TPU_NTT_RADIX
+    override when set, else the measured per-size TPU default, else
+    (2, 2) (non-TPU backends: fusion is bit-identical but only bloats
+    compile time; n < 2^13: fusion is neutral)."""
+    from .. import config as _config
+    r = _config.ntt_radix()
+    if r is not None:
+        return r
+    if n < (1 << 13) or _config.default_backend() != "tpu":
+        return (2, 2)
+    for thresh, rad in _TPU_NTT_RADIX_DEFAULTS:
+        if n <= thresh:
+            return rad
+    return (32, 16)  # pragma: no cover
 
 
 def fwd_body_2d(x: U64, q: U64, two_q: U64, fwd_a, fwd_b, rows: int,
@@ -669,8 +706,7 @@ def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
 
 
 def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
-    from .. import config as _config
-    radix = _config.ntt_radix() if plan.n >= (1 << 13) else (2, 2)
+    radix = ntt_radix_for(plan.n)
     return inv_body_2d(x, q, two_q, plan.inv_b, plan.inv_a, _plan_fin(plan),
                        plan.rows, plan.tiles, plan.lane_l, radix,
                        lean_ok=plan.q < LEAN_APPROX_MAX_Q,

@@ -112,9 +112,8 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         raise ValueError("input_mod_factor must be 1, 2 or 4")
     if output_mod_factor not in (1, 4):
         raise ValueError("output_mod_factor must be 1 or 4")
-    from .. import config as _config
     if rplan.rows is not None:
-        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else (2, 2)
+        radix = jnp_ntt.ntt_radix_for(rplan.n)
         skel_a, skel_b = _skeleton(rplan.fwd_a), _skeleton(rplan.fwd_b)
 
         lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
@@ -152,9 +151,8 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         raise ValueError("input_mod_factor must be 1 or 2")
     if output_mod_factor not in (1, 2):
         raise ValueError("output_mod_factor must be 1 or 2")
-    from .. import config as _config
     if rplan.rows is not None:
-        radix = _config.ntt_radix() if rplan.n >= (1 << 13) else (2, 2)
+        radix = jnp_ntt.ntt_radix_for(rplan.n)
         skel_b, skel_a = _skeleton(rplan.inv_b), _skeleton(rplan.inv_a)
 
         lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
