@@ -46,7 +46,7 @@ def main():
     rng = np.random.default_rng(0)
     rows = []
 
-    for log_n in (10, 12):
+    for log_n in (10, 12, 13, 14):
         n = 1 << log_n
         for q_bits in (49, 60):
             q_int = int(nt.generate_primes(1, q_bits, True, ntt_size=n)[0])
@@ -54,7 +54,7 @@ def main():
             q, two_q = const64(q_int), const64(2 * q_int)
             x = to_limbs(rng.integers(0, q_int, size=(BATCH, n),
                                       dtype=np.uint64))
-            radix = (2, 2) if n < (1 << 13) else (8, 8)
+            radix = J.ntt_radix_for(n)
 
             def fwd_forced(v, lean_ok, lean16_ok):
                 return J.fwd_body_2d(v, q, two_q, plan.fwd_a, plan.fwd_b,
@@ -78,9 +78,16 @@ def main():
                     return J.cond_sub64_half(iv, q)
                 return step
 
-            for name, flags in (("lean16", (True, True)),
-                                ("lean8", (True, False)),
-                                ("exact", (False, False))):
+            schemes = (("lean16", (True, True)),
+                       ("lean8", (True, False)),
+                       ("exact", (False, False)))
+            if log_n >= 13:
+                # crossover question is lean16-vs-lean8 only, and only
+                # the 49-bit family can legally choose (60b: no lean16)
+                if q_bits != 49:
+                    continue
+                schemes = schemes[:2]
+            for name, flags in schemes:
                 r = chain_rate(pair(flags), x, BATCH, k1=32, k2=1024)
                 us = 1e6 / r
                 rows.append({"n": n, "q_bits": q_bits, "scheme": name,

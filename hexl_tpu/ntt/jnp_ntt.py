@@ -37,6 +37,25 @@ LEAN_APPROX_MAX_Q = 1 << 61
 # butterfly), so 16q must fit in 64 bits.
 LEAN16_MAX_Q = 1 << 60
 
+# Smallest degree lean16 actually beats lean8 at (measured, TPU v5e:
+# benchmarks/smalln_49_profile_results.json). Below this the transform
+# is layout-bound and lean16's wider invariant costs more than its
+# saved halver buys — the round-4 "49-bit small-N inversion": forcing
+# lean16 wherever it was VALID made the 49-bit family slower than the
+# 60-bit family at N <= 2^12. The gate is backend-independent so the
+# CPU suite exercises the schemes the TPU runs.
+LEAN16_MIN_N = 1 << 13
+
+
+def scheme_gates(q_max: int, n: int) -> tuple:
+    """(lean_ok, lean16_ok) for a degree-n body whose largest modulus is
+    q_max — the single place the scheme map lives. lean16 requires both
+    validity (16q fits u64) and the measured size threshold; lean8 is
+    the widest approximate family (8q fits u64). _bflys3 maps the pair
+    to 'lean16' / 'lean8' / 'exact'."""
+    return (q_max < LEAN_APPROX_MAX_Q,
+            q_max < LEAN16_MAX_Q and n >= LEAN16_MIN_N)
+
 
 def _shoup(x: U64, w: U64, wp: U64, q: U64) -> U64:
     """Lazy Shoup multiply with broadcastable twiddles; output in [0, 2q)."""
@@ -342,9 +361,9 @@ def fwd_ntt(x: U64, plan: NttPlan, input_mod_factor: int = 1,
 
 
 def _fwd_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    lean_ok, lean16_ok = scheme_gates(plan.q, plan.n)
     return fwd_body_small(x, q, two_q, plan.n, plan.rop_dev, plan.prop_dev,
-                          lean_ok=plan.q < LEAN_APPROX_MAX_Q,
-                          lean16_ok=plan.q < LEAN16_MAX_Q)
+                          lean_ok=lean_ok, lean16_ok=lean16_ok)
 
 
 def _fwd_fixup(x: U64, scheme: str, two_q: U64) -> U64:
@@ -462,10 +481,10 @@ def _inv_radixk_step(es, wparts, wpparts, q, two_q, bfly):
 
 def _fwd_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     radix = ntt_radix_for(plan.n)
+    lean_ok, lean16_ok = scheme_gates(plan.q, plan.n)
     return fwd_body_2d(x, q, two_q, plan.fwd_a, plan.fwd_b, plan.rows,
                        plan.tiles, plan.lane_l, radix,
-                       lean_ok=plan.q < LEAN_APPROX_MAX_Q,
-                       lean16_ok=plan.q < LEAN16_MAX_Q)
+                       lean_ok=lean_ok, lean16_ok=lean16_ok)
 
 
 def _norm_radix(radix):
@@ -673,10 +692,10 @@ def _final_inv_stage(xs: U64, ys: U64, plan: NttPlan, q: U64,
 
 
 def _inv_small(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
+    lean_ok, lean16_ok = scheme_gates(plan.q, plan.n)
     return inv_body_small(x, q, two_q, plan.n, plan.irop_dev,
                           plan.pirop_dev, _plan_fin(plan),
-                          lean_ok=plan.q < LEAN_APPROX_MAX_Q,
-                          lean16_ok=plan.q < LEAN16_MAX_Q)
+                          lean_ok=lean_ok, lean16_ok=lean16_ok)
 
 
 def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
@@ -707,10 +726,10 @@ def inv_body_small(x: U64, q: U64, two_q: U64, n: int, irop_dev: U64,
 
 def _inv_2d(x: U64, plan: NttPlan, q: U64, two_q: U64) -> U64:
     radix = ntt_radix_for(plan.n)
+    lean_ok, lean16_ok = scheme_gates(plan.q, plan.n)
     return inv_body_2d(x, q, two_q, plan.inv_b, plan.inv_a, _plan_fin(plan),
                        plan.rows, plan.tiles, plan.lane_l, radix,
-                       lean_ok=plan.q < LEAN_APPROX_MAX_Q,
-                       lean16_ok=plan.q < LEAN16_MAX_Q)
+                       lean_ok=lean_ok, lean16_ok=lean16_ok)
 
 
 def inv_body_2d(x: U64, q: U64, two_q: U64, inv_b, inv_a, fin, rows: int,

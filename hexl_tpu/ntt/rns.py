@@ -27,7 +27,6 @@ import numpy as np
 
 from ..limb import U64, cond_sub64_half, from_limbs, to_limbs
 from . import jnp_ntt
-from .jnp_ntt import LEAN16_MAX_Q, LEAN_APPROX_MAX_Q
 from .plan import MIN_2D_N, get_plan
 
 
@@ -116,8 +115,7 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         radix = jnp_ntt.ntt_radix_for(rplan.n)
         skel_a, skel_b = _skeleton(rplan.fwd_a), _skeleton(rplan.fwd_b)
 
-        lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
-        lean16_ok = max(rplan.moduli) < LEAN16_MAX_Q
+        lean_ok, lean16_ok = jnp_ntt.scheme_gates(max(rplan.moduli), rplan.n)
 
         def body(xi, qi, tqi, ta, tb):
             out = jnp_ntt.fwd_body_2d(
@@ -131,11 +129,12 @@ def fwd_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         return jax.vmap(body)(x, rplan.q_vec, rplan.two_q_vec,
                               _tables(rplan.fwd_a), _tables(rplan.fwd_b))
 
+    lean_ok_s, lean16_ok_s = jnp_ntt.scheme_gates(max(rplan.moduli), rplan.n)
+
     def body(xi, qi, tqi, rop, prop):
         out = jnp_ntt.fwd_body_small(
             xi, qi, tqi, rplan.n, rop, prop,
-            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q,
-            lean16_ok=max(rplan.moduli) < LEAN16_MAX_Q)
+            lean_ok=lean_ok_s, lean16_ok=lean16_ok_s)
         if output_mod_factor == 1:
             out = cond_sub64_half(cond_sub64_half(out, tqi), qi)
         return out
@@ -155,8 +154,7 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
         radix = jnp_ntt.ntt_radix_for(rplan.n)
         skel_b, skel_a = _skeleton(rplan.inv_b), _skeleton(rplan.inv_a)
 
-        lean_ok = max(rplan.moduli) < LEAN_APPROX_MAX_Q
-        lean16_ok = max(rplan.moduli) < LEAN16_MAX_Q
+        lean_ok, lean16_ok = jnp_ntt.scheme_gates(max(rplan.moduli), rplan.n)
 
         def body(xi, qi, tqi, tb, ta, fin):
             out = jnp_ntt.inv_body_2d(
@@ -171,11 +169,12 @@ def inv_ntt_rns(x: U64, rplan: RnsNttPlan, input_mod_factor: int = 1,
                               _tables(rplan.inv_b), _tables(rplan.inv_a),
                               rplan.fin)
 
+    lean_ok_s, lean16_ok_s = jnp_ntt.scheme_gates(max(rplan.moduli), rplan.n)
+
     def body(xi, qi, tqi, irop, pirop, fin):
         out = jnp_ntt.inv_body_small(
             xi, qi, tqi, rplan.n, irop, pirop, fin,
-            lean_ok=max(rplan.moduli) < LEAN_APPROX_MAX_Q,
-            lean16_ok=max(rplan.moduli) < LEAN16_MAX_Q)
+            lean_ok=lean_ok_s, lean16_ok=lean16_ok_s)
         if output_mod_factor == 1:
             out = cond_sub64_half(out, qi)
         return out

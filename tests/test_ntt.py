@@ -448,9 +448,10 @@ def test_approx_butterflies_forced_on_cpu(monkeypatch):
 
 # Lean-scheme selection boundaries. generate_primes(1, b) returns
 # q in (2^b, 2^(b+1)) (the reference's convention), so q_bits 59 picks
-# the one-halver lean16 scheme (q < 2^60), 60 the two-halver lean8
-# scheme (q < 2^61 — the headline family), and 61 the exact Harvey
-# forms (q >= 2^61: 8q no longer fits u64, no approximation at all).
+# the one-halver lean16 scheme (q < 2^60, n >= LEAN16_MIN_N; lean8
+# below the size threshold), 60 the two-halver lean8 scheme (q < 2^61
+# — the headline family), and 61 the exact Harvey forms (q >= 2^61:
+# 8q no longer fits u64, no approximation at all).
 # Contract: OMF=1/roundtrip bit-identical to the oracle; lazy outputs
 # in-range and mod-q equal. test_bflys3_scheme_selection pins the
 # selector itself (the round-4 verdict found the map off by one at
@@ -484,29 +485,32 @@ def test_lean16_scheme_forced_on_cpu(n, q_bits, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ntt.inverse(got1, 1, 1)), x)
 
 
-@pytest.mark.parametrize("q_bits,want",
-                         [(49, "lean16"), (59, "lean16"),
-                          (60, "lean8"), (61, "exact")])
-def test_bflys3_scheme_selection(q_bits, want, monkeypatch):
-    """Assert which butterfly scheme _bflys3 actually selects for the
-    prime generate_primes returns at each bit width, using the same gate
-    expressions the bodies evaluate (plan.q vs LEAN*_MAX_Q). The round-4
-    verdict found the headline (q_bits=60) silently running a weaker
-    scheme than documented because no test pinned this mapping."""
+@pytest.mark.parametrize("q_bits,want_big,want_small",
+                         [(49, "lean16", "lean8"), (59, "lean16", "lean8"),
+                          (60, "lean8", "lean8"), (61, "exact", "exact")])
+def test_bflys3_scheme_selection(q_bits, want_big, want_small, monkeypatch):
+    """Assert which butterfly scheme the bodies actually select for the
+    prime generate_primes returns at each bit width, via the shared
+    scheme_gates(q, n) helper (the round-4 verdict found the headline
+    q_bits=60 silently running a weaker scheme than documented because
+    no test pinned this mapping). The map is 2-D since round 5: below
+    LEAN16_MIN_N the transform is layout-bound and lean16's wider
+    invariant loses to lean8 even where it is valid (measured,
+    benchmarks/smalln_49_profile_results.json) — so small N prefers
+    lean8 wherever any approximate scheme is legal."""
     from hexl_tpu import config as _cfg
     from hexl_tpu.ntt import jnp_ntt as _j
 
-    n = 1 << 14
-    q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
-    assert (1 << q_bits) < q < (1 << (q_bits + 1))  # prime convention
     monkeypatch.setattr(_cfg, "approx_butterflies", lambda: True)
-    _, _, scheme = _j._bflys3(q < _j.LEAN_APPROX_MAX_Q,
-                              q < _j.LEAN16_MAX_Q)
-    assert scheme == want
-    # With approximation disabled every family must be exact.
-    monkeypatch.setattr(_cfg, "approx_butterflies", lambda: False)
-    assert _j._bflys3(q < _j.LEAN_APPROX_MAX_Q,
-                      q < _j.LEAN16_MAX_Q)[2] == "exact"
+    for n, want in ((_j.LEAN16_MIN_N, want_big),
+                    (_j.LEAN16_MIN_N // 2, want_small)):
+        q = nt.generate_primes(1, q_bits, True, ntt_size=n)[0]
+        assert (1 << q_bits) < q < (1 << (q_bits + 1))  # prime convention
+        assert _j._bflys3(*_j.scheme_gates(q, n))[2] == want
+        # With approximation disabled every family must be exact.
+        monkeypatch.setattr(_cfg, "approx_butterflies", lambda: False)
+        assert _j._bflys3(*_j.scheme_gates(q, n))[2] == "exact"
+        monkeypatch.setattr(_cfg, "approx_butterflies", lambda: True)
 
 
 @pytest.mark.parametrize("q_bits", [49, 59, 60])
